@@ -1,0 +1,295 @@
+"""Fused flash attention for TPU (Pallas) with a chunked XLA fallback.
+
+This is the TPU-native replacement for the reference's flash-attn/SageAttention
+/xformers dispatch (diffsynth/models/wan_video_dit.py:116-147 and
+diffsynth/models/attention.py:233-279). Full bidirectional attention (the Wan
+DiT is non-causal); padded key positions are masked via a `kv_len` scalar so
+callers can pad sequence lengths up to block multiples without changing
+results.
+
+API: `flash_attention(q, k, v, kv_len=None, scale=None)` with tensors in
+(B, S, N, D) layout ("b s n d"), matching the reference's flash-attn call
+convention. Softmax statistics are kept in float32; the matmuls run on the MXU
+in the input dtype with float32 accumulation.
+
+The op is differentiable: forward is a Pallas kernel on TPU (or a
+lax.scan-chunked XLA implementation elsewhere); backward recomputes attention
+blockwise from the saved logsumexp (flash-attention backward), so memory stays
+O(S·D) instead of O(S²).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# Pallas forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale, block_k):
+    j = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # (bq, d)
+    k = k_ref[0, 0].astype(jnp.float32)  # (bk, d)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bk)
+
+    kv_len = kv_len_ref[0]
+    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m_prev = m_scr[:, :1]  # (bq, 1)
+    l_prev = l_scr[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == nk - 1)
+    def _():
+        l = l_scr[:, :1]
+        o_ref[0, 0] = (acc_scr[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_scr[:] + jnp.log(jnp.maximum(l_scr[:], 1e-30)))[:, :1]
+
+
+def _flash_fwd_pallas(q, k, v, kv_len, scale, block_q, block_k):
+    """q,k,v: (B, N, S, D) padded to block multiples. Returns out, lse."""
+    b, n, sq, d = q.shape
+    sk = k.shape[2]
+    nq, nk = sq // block_q, sk // block_k
+    grid = (b, n, nq, nk)
+
+    kv_len_arr = jnp.asarray([kv_len], dtype=jnp.int32)
+
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, block_k=block_k),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d), lambda b_, n_, i, j, *refs: (b_, n_, i, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda b_, n_, i, j, *refs: (b_, n_, j, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda b_, n_, i, j, *refs: (b_, n_, j, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, d), lambda b_, n_, i, j, *refs: (b_, n_, i, 0)),
+                pl.BlockSpec((1, 1, block_q, 1), lambda b_, n_, i, j, *refs: (b_, n_, i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, n, sq, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(kv_len_arr, q, k, v)
+    return out, lse[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Chunked XLA implementation (CPU fallback + backward recompute)
+# ---------------------------------------------------------------------------
+
+
+def _flash_fwd_xla(q, k, v, kv_len, scale, block_k):
+    """Scan over key blocks; same online-softmax math as the kernel.
+
+    q,k,v: (B, N, S, D) padded to block multiples; returns (out, lse).
+    """
+    b, n, sq, d = q.shape
+    sk = k.shape[2]
+    nk = sk // block_k
+    qf = q.astype(jnp.float32) * scale
+    kb = k.reshape(b, n, nk, block_k, d)
+    vb = v.reshape(b, n, nk, block_k, d)
+
+    def body(carry, blk):
+        m, l, acc = carry
+        kj, vj, j = blk
+        s = jnp.einsum("bnqd,bnkd->bnqk", qf, kj.astype(jnp.float32))
+        col = j * block_k + jnp.arange(block_k)
+        s = jnp.where(col[None, None, None, :] < kv_len, s, _NEG_INF)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.einsum("bnqk,bnkd->bnqd", p, vj.astype(jnp.float32))
+        return (m_new, l_new, acc_new), None
+
+    m0 = jnp.full((b, n, sq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, n, sq, 1), jnp.float32)
+    a0 = jnp.zeros((b, n, sq, d), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(
+        body, (m0, l0, a0),
+        (jnp.moveaxis(kb, 2, 0), jnp.moveaxis(vb, 2, 0), jnp.arange(nk)),
+    )
+    out = (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
+    lse = (m + jnp.log(jnp.maximum(l, 1e-30)))[..., 0]
+    return out, lse
+
+
+def _flash_bwd_xla(q, k, v, out, lse, g, kv_len, scale, block_k):
+    """Blockwise flash-attention backward (recompute from lse). All (B,N,S,D)."""
+    b, n, sq, d = q.shape
+    sk = k.shape[2]
+    nk = sk // block_k
+    qf = q.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    # D_i = rowsum(dO * O)
+    delta = jnp.sum(gf * out.astype(jnp.float32), axis=-1, keepdims=True)  # (b,n,sq,1)
+
+    kb = jnp.moveaxis(k.reshape(b, n, nk, block_k, d), 2, 0)
+    vb = jnp.moveaxis(v.reshape(b, n, nk, block_k, d), 2, 0)
+
+    def body(dq, blk):
+        kj, vj, j = blk
+        kjf = kj.astype(jnp.float32)
+        s = jnp.einsum("bnqd,bnkd->bnqk", qf, kjf) * scale
+        col = j * block_k + jnp.arange(block_k)
+        s = jnp.where(col[None, None, None, :] < kv_len, s, _NEG_INF)
+        p = jnp.exp(s - lse[..., None])  # (b,n,sq,bk)
+        dp = jnp.einsum("bnqd,bnkd->bnqk", gf, vj.astype(jnp.float32))
+        ds = p * (dp - delta)
+        dq = dq + jnp.einsum("bnqk,bnkd->bnqd", ds, kjf) * scale
+        dkj = jnp.einsum("bnqk,bnqd->bnkd", ds, qf) * scale
+        dvj = jnp.einsum("bnqk,bnqd->bnkd", p, gf)
+        return dq, (dkj, dvj)
+
+    dq0 = jnp.zeros((b, n, sq, d), jnp.float32)
+    dq, (dk_blocks, dv_blocks) = jax.lax.scan(body, dq0, (kb, vb, jnp.arange(nk)))
+    dk = jnp.moveaxis(dk_blocks, 0, 2).reshape(b, n, sk, d)
+    dv = jnp.moveaxis(dv_blocks, 0, 2).reshape(b, n, sk, d)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Public op
+# ---------------------------------------------------------------------------
+
+
+def _choose_blocks(sq: int, sk: int, d: int):
+    block_q = 512 if sq >= 512 else _ceil_to(max(sq, 8), 128)
+    block_k = 512 if sk >= 512 else _ceil_to(max(sk, 128), 128)
+    return block_q, block_k
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_core(q, k, v, kv_len, scale, use_pallas):
+    out, _ = _flash_core_fwd(q, k, v, kv_len, scale, use_pallas)
+    return out
+
+
+def _flash_core_fwd(q, k, v, kv_len, scale, use_pallas):
+    b, n, sq, d = q.shape
+    sk = k.shape[2]
+    block_q, block_k = _choose_blocks(sq, sk, d)
+    sq_p, sk_p = _ceil_to(sq, block_q), _ceil_to(sk, block_k)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0))) if sq_p != sq else q
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else k
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else v
+
+    if use_pallas:
+        out, lse = _flash_fwd_pallas(qp, kp, vp, kv_len, scale, block_q, block_k)
+    else:
+        out, lse = _flash_fwd_xla(qp, kp, vp, kv_len, scale, block_k)
+    out = out[:, :, :sq]
+    lse = lse[:, :, :sq]
+    return out, (q, k, v, out, lse)
+
+
+def _flash_core_bwd(kv_len, scale, use_pallas, res, g):
+    q, k, v, out, lse = res
+    b, n, sq, d = q.shape
+    sk = k.shape[2]
+    _, block_k = _choose_blocks(sq, sk, d)
+    sk_p = _ceil_to(sk, block_k)
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else k
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else v
+    dq, dk, dv = _flash_bwd_xla(q, kp, vp, out, lse, g, kv_len, scale, block_k)
+    return dq, dk[:, :, :sk], dv[:, :, :sk]
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_len: Optional[int] = None,
+    scale: Optional[float] = None,
+    force_xla: bool = False,
+) -> jax.Array:
+    """Full (non-causal) attention. q: (B, Sq, N, D); k, v: (B, Sk, N, D).
+
+    kv_len masks keys at positions >= kv_len (defaults to Sk); use it when the
+    caller pre-pads the key sequence. Returns (B, Sq, N, D) in q.dtype.
+    """
+    assert q.ndim == 4 and k.ndim == 4 and v.ndim == 4
+    b, sq, n, d = q.shape
+    sk = k.shape[1]
+    if kv_len is None:
+        kv_len = sk
+    if scale is None:
+        scale = d ** -0.5
+    use_pallas = (not force_xla) and jax.default_backend() == "tpu"
+
+    qt = jnp.swapaxes(q, 1, 2)  # (B, N, S, D)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    out = _flash_core(qt, kt, vt, int(kv_len), float(scale), use_pallas)
+    return jnp.swapaxes(out, 1, 2)
+
+
+def attention_bnsd(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    kv_len: Optional[int] = None, scale: Optional[float] = None,
+    force_xla: bool = False,
+) -> jax.Array:
+    """Same op with (B, N, S, D) layout (no transposes)."""
+    b, n, sq, d = q.shape
+    sk = k.shape[2]
+    if kv_len is None:
+        kv_len = sk
+    if scale is None:
+        scale = d ** -0.5
+    use_pallas = (not force_xla) and jax.default_backend() == "tpu"
+    return _flash_core(q, k, v, int(kv_len), float(scale), use_pallas)

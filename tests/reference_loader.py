@@ -1,0 +1,107 @@
+"""Import modules from the read-only reference repo for golden-parity tests.
+
+The reference (PyTorch) lives at /root/reference. Some of its imports
+(diffusers, xfuser, flash_attn, ...) are not installed here, so we inject
+minimal stub modules before loading. This is used ONLY to produce golden
+tensors to test our independent JAX implementation against — reference code is
+never vendored into svi_tpu.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+
+REF = "/root/reference"
+
+
+def _ensure_stubs():
+    if "diffusers" not in sys.modules:
+        diffusers = types.ModuleType("diffusers")
+
+        class ModelMixin:
+            pass
+
+        class ConfigMixin:
+            pass
+
+        def register_to_config(fn=None, **kw):
+            if fn is None:
+                return lambda f: f
+            return fn
+
+        diffusers.ModelMixin = ModelMixin
+        cfg_utils = types.ModuleType("diffusers.configuration_utils")
+        cfg_utils.ConfigMixin = ConfigMixin
+        cfg_utils.register_to_config = register_to_config
+        diffusers.configuration_utils = cfg_utils
+        sys.modules["diffusers"] = diffusers
+        sys.modules["diffusers.configuration_utils"] = cfg_utils
+
+    if "xfuser" not in sys.modules:
+        xfuser = types.ModuleType("xfuser")
+        core = types.ModuleType("xfuser.core")
+        dist = types.ModuleType("xfuser.core.distributed")
+        dist.get_sequence_parallel_rank = lambda: 0
+        dist.get_sequence_parallel_world_size = lambda: 1
+        dist.get_sp_group = lambda: None
+        xfuser.core = core
+        core.distributed = dist
+        sys.modules["xfuser"] = xfuser
+        sys.modules["xfuser.core"] = core
+        sys.modules["xfuser.core.distributed"] = dist
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        sys.modules["torchvision"] = tv
+
+    if "xformers" not in sys.modules:
+        xformers = types.ModuleType("xformers")
+        xops = types.ModuleType("xformers.ops")
+
+        class _FMHA:
+            class BlockDiagonalMask:
+                @staticmethod
+                def from_seqlens(*a, **k):
+                    raise NotImplementedError("xformers stub")
+
+        xops.fmha = _FMHA
+        xformers.ops = xops
+        sys.modules["xformers"] = xformers
+        sys.modules["xformers.ops"] = xops
+
+
+def load_reference_package():
+    """Make `diffsynth` importable from /root/reference (cached)."""
+    _ensure_stubs()
+    if "diffsynth" in sys.modules:
+        return sys.modules["diffsynth"]
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    # diffsynth/__init__.py pulls in the whole zoo; import submodules directly
+    # via a namespace package shim instead.
+    pkg = types.ModuleType("diffsynth")
+    pkg.__path__ = [f"{REF}/diffsynth"]
+    sys.modules["diffsynth"] = pkg
+    for sub in ["models", "schedulers", "utils", "prompters", "pipelines", "configs"]:
+        mod = types.ModuleType(f"diffsynth.{sub}")
+        mod.__path__ = [f"{REF}/diffsynth/{sub}"]
+        sys.modules[f"diffsynth.{sub}"] = mod
+    return pkg
+
+
+def load_ref_module(dotted: str):
+    """Import e.g. 'diffsynth.schedulers.flow_match' from the reference tree."""
+    load_reference_package()
+    parts = dotted.split(".")
+    path = REF + "/" + "/".join(parts) + ".py"
+    if dotted in sys.modules and not isinstance(sys.modules[dotted], types.ModuleType):
+        del sys.modules[dotted]
+    if dotted in sys.modules and getattr(sys.modules[dotted], "__file__", None):
+        return sys.modules[dotted]
+    spec = importlib.util.spec_from_file_location(dotted, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[dotted] = mod
+    spec.loader.exec_module(mod)
+    return mod
