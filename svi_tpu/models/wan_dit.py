@@ -1,0 +1,452 @@
+"""Wan 2.1 video diffusion transformer (DiT), TPU-native.
+
+Behavioral reference: diffsynth/models/wan_video_dit.py (WanModel :407,
+DiTBlock :321, SelfAttention :210, CrossAttention :245, Head :392,
+patchify/unpatchify :473-484, config table :655-712). This is a from-scratch
+functional JAX implementation:
+
+  * parameters are a plain pytree; per-block parameters are STACKED along a
+    leading `num_layers` axis and the block stack runs as one `lax.scan`
+    (single block compilation, scan-friendly for remat and pipelining);
+  * patchify/unpatchify are reshapes + a dense matmul (patch kernel == stride,
+    so the Conv3d is exactly a linear map per patch) — lands on the MXU;
+  * attention is the fused Pallas flash kernel (ops/attention.py);
+  * RoPE tables are precomputed per (f, h, w) grid on host (ops/rope.py);
+  * activations bf16, norm/softmax statistics f32.
+
+Weight ingestion from the reference's PyTorch layout is in
+`params_from_torch_state_dict` (same key names as the civitai/official Wan
+checkpoints that diffsynth loads, wan_video_dit.py:655-712).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import flash_attention
+from ..ops.norms import gelu_tanh, layer_norm, modulate, rms_norm
+from ..ops.rope import apply_rope, rope_angles_for_grid, sinusoidal_embedding_1d
+
+Params = dict  # nested dict pytree of jnp arrays
+
+
+@dataclasses.dataclass(frozen=True)
+class WanDiTConfig:
+    dim: int = 1536
+    in_dim: int = 16
+    ffn_dim: int = 8960
+    out_dim: int = 16
+    text_dim: int = 4096
+    freq_dim: int = 256
+    eps: float = 1e-6
+    patch_size: tuple[int, int, int] = (1, 2, 2)
+    num_heads: int = 12
+    num_layers: int = 30
+    has_image_input: bool = False
+    enable_multitalk: bool = False
+    clip_feature_dim: int = 1280
+    text_len: int = 512
+    audio_hidden_dim: int = 768
+    audio_context_tokens: int = 32
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.num_heads
+
+
+# Hash-derived reference configs (wan_video_dit.py:655-712).
+WAN_1_3B_T2V = WanDiTConfig()
+WAN_14B_T2V = WanDiTConfig(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40)
+WAN_14B_I2V = WanDiTConfig(
+    dim=5120, in_dim=36, ffn_dim=13824, num_heads=40, num_layers=40, has_image_input=True
+)
+WAN_14B_I2V_MULTITALK = dataclasses.replace(WAN_14B_I2V, enable_multitalk=True)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _linear(key, fan_in, fan_out, dtype, bias=True):
+    kw, kb = jax.random.split(key)
+    lim = 1.0 / math.sqrt(fan_in)
+    p = {"w": jax.random.uniform(kw, (fan_in, fan_out), jnp.float32, -lim, lim).astype(dtype)}
+    if bias:
+        p["b"] = jax.random.uniform(kb, (fan_out,), jnp.float32, -lim, lim).astype(dtype)
+    return p
+
+
+def _block_init(key, cfg: WanDiTConfig) -> Params:
+    d, f = cfg.dim, cfg.ffn_dim
+    keys = jax.random.split(key, 16)
+    dt = cfg.dtype
+    p = {
+        "self_attn": {
+            "q": _linear(keys[0], d, d, dt),
+            "k": _linear(keys[1], d, d, dt),
+            "v": _linear(keys[2], d, d, dt),
+            "o": _linear(keys[3], d, d, dt),
+            "norm_q": {"w": jnp.ones((d,), dt)},
+            "norm_k": {"w": jnp.ones((d,), dt)},
+        },
+        "cross_attn": {
+            "q": _linear(keys[4], d, d, dt),
+            "k": _linear(keys[5], d, d, dt),
+            "v": _linear(keys[6], d, d, dt),
+            "o": _linear(keys[7], d, d, dt),
+            "norm_q": {"w": jnp.ones((d,), dt)},
+            "norm_k": {"w": jnp.ones((d,), dt)},
+        },
+        "norm3": {"w": jnp.ones((d,), dt), "b": jnp.zeros((d,), dt)},
+        "ffn": {"0": _linear(keys[8], d, f, dt), "2": _linear(keys[9], f, d, dt)},
+        "modulation": (jax.random.normal(keys[10], (1, 6, d)) / d**0.5).astype(dt),
+    }
+    if cfg.has_image_input:
+        p["cross_attn"]["k_img"] = _linear(keys[11], d, d, dt)
+        p["cross_attn"]["v_img"] = _linear(keys[12], d, d, dt)
+        p["cross_attn"]["norm_k_img"] = {"w": jnp.ones((d,), dt)}
+    return p
+
+
+def init_params(key, cfg: WanDiTConfig) -> Params:
+    d = cfg.dim
+    dt = cfg.dtype
+    keys = jax.random.split(key, 12)
+    pt, ph, pw = cfg.patch_size
+    patch_in = cfg.in_dim * pt * ph * pw
+    params: Params = {
+        "patch_embedding": _linear(keys[0], patch_in, d, dt),
+        "text_embedding": {
+            "0": _linear(keys[1], cfg.text_dim, d, dt),
+            "2": _linear(keys[2], d, d, dt),
+        },
+        "time_embedding": {
+            "0": _linear(keys[3], cfg.freq_dim, d, dt),
+            "2": _linear(keys[4], d, d, dt),
+        },
+        "time_projection": {"1": _linear(keys[5], d, d * 6, dt)},
+        "head": {
+            "head": _linear(keys[6], d, cfg.out_dim * pt * ph * pw, dt),
+            "modulation": (jax.random.normal(keys[7], (1, 2, d)) / d**0.5).astype(dt),
+        },
+        "blocks": jax.vmap(lambda k: _block_init(k, cfg))(
+            jax.random.split(keys[8], cfg.num_layers)
+        ),
+    }
+    if cfg.has_image_input:
+        cd = cfg.clip_feature_dim
+        params["img_emb"] = {
+            "norm0": {"w": jnp.ones((cd,), dt), "b": jnp.zeros((cd,), dt)},
+            "fc1": _linear(keys[9], cd, cd, dt),
+            "fc3": _linear(keys[10], cd, d, dt),
+            "norm4": {"w": jnp.ones((d,), dt), "b": jnp.zeros((d,), dt)},
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _dense(p: Params, x: jax.Array) -> jax.Array:
+    y = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def patchify(params: Params, cfg: WanDiTConfig, x: jax.Array):
+    """x: (b, c, f, h, w) -> tokens (b, f'*h'*w', dim), grid (f', h', w').
+
+    The Conv3d patch embed (kernel == stride, wan_video_dit.py:429) is a
+    per-patch linear map; we extract patches with reshapes ordered to match
+    torch Conv3d weight layout (out, in, kt, kh, kw).
+    """
+    b, c, f, h, w = x.shape
+    pt, ph, pw = cfg.patch_size
+    fg, hg, wg = f // pt, h // ph, w // pw
+    xp = x.reshape(b, c, fg, pt, hg, ph, wg, pw)
+    # -> (b, fg, hg, wg, c, pt, ph, pw): feature order (c, kt, kh, kw)
+    xp = xp.transpose(0, 2, 4, 6, 1, 3, 5, 7).reshape(b, fg * hg * wg, c * pt * ph * pw)
+    return _dense(params["patch_embedding"], xp), (fg, hg, wg)
+
+
+def unpatchify(params: Params, cfg: WanDiTConfig, x: jax.Array, grid) -> jax.Array:
+    """tokens (b, S, out_dim*prod(patch)) -> (b, out_dim, f, h, w).
+
+    Reference feature order within a token is (kt, kh, kw, c)
+    (wan_video_dit.py:479-484 rearrange '(x y z c)').
+    """
+    b = x.shape[0]
+    fg, hg, wg = grid
+    pt, ph, pw = cfg.patch_size
+    c = cfg.out_dim
+    x = x.reshape(b, fg, hg, wg, pt, ph, pw, c)
+    x = x.transpose(0, 7, 1, 4, 2, 5, 3, 6)  # b c fg pt hg ph wg pw
+    return x.reshape(b, c, fg * pt, hg * ph, wg * pw)
+
+
+def _self_attention(p: Params, cfg: WanDiTConfig, x: jax.Array, cos, sin) -> jax.Array:
+    b, s, d = x.shape
+    n, hd = cfg.num_heads, cfg.head_dim
+    q = rms_norm(_dense(p["q"], x), p["norm_q"]["w"], eps=cfg.eps)
+    k = rms_norm(_dense(p["k"], x), p["norm_k"]["w"], eps=cfg.eps)
+    v = _dense(p["v"], x).reshape(b, s, n, hd)
+    q = apply_rope(q.reshape(b, s, n, hd), cos, sin)
+    k = apply_rope(k.reshape(b, s, n, hd), cos, sin)
+    o = flash_attention(q, k, v).reshape(b, s, d)
+    return _dense(p["o"], o)
+
+
+def _cross_attention(
+    p: Params, cfg: WanDiTConfig, x: jax.Array, ctx: jax.Array, num_img_tokens: int = 257
+) -> jax.Array:
+    """Text (+image) cross attention (wan_video_dit.py:245-303)."""
+    b, s, d = x.shape
+    n, hd = cfg.num_heads, cfg.head_dim
+    if cfg.has_image_input:
+        img, txt = ctx[:, :num_img_tokens], ctx[:, num_img_tokens:]
+    else:
+        img, txt = None, ctx
+    q = rms_norm(_dense(p["q"], x), p["norm_q"]["w"], eps=cfg.eps).reshape(b, s, n, hd)
+    k = rms_norm(_dense(p["k"], txt), p["norm_k"]["w"], eps=cfg.eps)
+    v = _dense(p["v"], txt)
+    lk = txt.shape[1]
+    o = flash_attention(q, k.reshape(b, lk, n, hd), v.reshape(b, lk, n, hd))
+    if img is not None:
+        k_img = rms_norm(_dense(p["k_img"], img), p["norm_k_img"]["w"], eps=cfg.eps)
+        v_img = _dense(p["v_img"], img)
+        li = img.shape[1]
+        o = o + flash_attention(q, k_img.reshape(b, li, n, hd), v_img.reshape(b, li, n, hd))
+    return _dense(p["o"], o.reshape(b, s, d))
+
+
+def dit_block(p: Params, cfg: WanDiTConfig, x, context, t_mod, cos, sin):
+    """One DiT block (wan_video_dit.py:354-374), adaLN-modulated."""
+    mod = (p["modulation"].astype(t_mod.dtype) + t_mod)  # (b, 6, d)
+    shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
+        mod[:, i][:, None, :] for i in range(6)
+    ]
+    input_x = modulate(layer_norm(x, eps=1e-6), shift_msa, scale_msa)
+    x = x + gate_msa * _self_attention(p["self_attn"], cfg, input_x, cos, sin)
+    x = x + _cross_attention(
+        p["cross_attn"], cfg, layer_norm(x, p["norm3"]["w"], p["norm3"]["b"], eps=cfg.eps), context
+    )
+    input_x = modulate(layer_norm(x, eps=1e-6), shift_mlp, scale_mlp)
+    ffn = _dense(p["ffn"]["2"], gelu_tanh(_dense(p["ffn"]["0"], input_x)))
+    return x + gate_mlp * ffn
+
+
+def _img_mlp(p: Params, x: jax.Array) -> jax.Array:
+    """CLIP-feature MLP (wan_video_dit.py:377-389): LN, Linear, GELU, Linear, LN."""
+    x = layer_norm(x, p["norm0"]["w"], p["norm0"]["b"], eps=1e-5)
+    x = _dense(p["fc1"], x)
+    x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
+    x = _dense(p["fc3"], x)
+    return layer_norm(x, p["norm4"]["w"], p["norm4"]["b"], eps=1e-5)
+
+
+def time_inputs(params: Params, cfg: WanDiTConfig, timestep: jax.Array, dtype):
+    """t embedding (b, d) and t_mod (b, 6, d) (wan_video_dit.py:499-501)."""
+    emb = sinusoidal_embedding_1d(cfg.freq_dim, timestep).astype(dtype)
+    t = _dense(params["time_embedding"]["0"], emb)
+    t = jax.nn.silu(t.astype(jnp.float32)).astype(dtype)
+    t = _dense(params["time_embedding"]["2"], t)
+    tp = jax.nn.silu(t.astype(jnp.float32)).astype(dtype)
+    t_mod = _dense(params["time_projection"]["1"], tp).reshape(t.shape[0], 6, cfg.dim)
+    return t, t_mod
+
+
+def head(params: Params, cfg: WanDiTConfig, x: jax.Array, t: jax.Array) -> jax.Array:
+    p = params["head"]
+    mod = p["modulation"].astype(t.dtype) + t[:, None, :]
+    shift, scale = mod[:, 0][:, None, :], mod[:, 1][:, None, :]
+    return _dense(p["head"], layer_norm(x, eps=cfg.eps) * (1 + scale) + shift)
+
+
+def forward(
+    params: Params,
+    cfg: WanDiTConfig,
+    x: jax.Array,
+    timestep: jax.Array,
+    context: jax.Array,
+    clip_feature: Optional[jax.Array] = None,
+    y: Optional[jax.Array] = None,
+    add_condition: Optional[jax.Array] = None,
+    use_remat: bool = False,
+) -> jax.Array:
+    """Full DiT forward (wan_video_dit.py:486-567 / svi_video.py:74-137).
+
+    x: (b, 16, f, h, w) latents; timestep: (b,) or scalar; context:
+    (b, text_len, text_dim) T5 states; clip_feature: (b, 257, 1280);
+    y: (b, 20, f, h, w) conditioning (mask ‖ VAE latent) for I2V;
+    add_condition: (b, S, dim) pose tokens (SVI-Dance).
+    """
+    dtype = cfg.dtype
+    x = x.astype(dtype)
+    if timestep.ndim == 0:
+        timestep = timestep[None]
+    t, t_mod = time_inputs(params, cfg, timestep, dtype)
+
+    ctx = _dense(params["text_embedding"]["0"], context.astype(dtype))
+    ctx = gelu_tanh(ctx)
+    ctx = _dense(params["text_embedding"]["2"], ctx)
+
+    if cfg.has_image_input:
+        x = jnp.concatenate([x, y.astype(dtype)], axis=1)
+        clip_emb = _img_mlp(params["img_emb"], clip_feature.astype(dtype))
+        ctx = jnp.concatenate([clip_emb, ctx], axis=1)
+
+    tokens, grid = patchify(params, cfg, x)
+    if add_condition is not None:
+        tokens = add_condition.astype(dtype) + tokens
+    cos, sin = rope_angles_for_grid(grid, cfg.head_dim)
+
+    block = dit_block
+    if use_remat:
+        block = jax.checkpoint(dit_block, static_argnums=(1,))
+
+    def scan_body(tok, block_params):
+        return block(block_params, cfg, tok, ctx, t_mod, cos, sin), None
+
+    tokens, _ = jax.lax.scan(scan_body, tokens, params["blocks"])
+
+    out = head(params, cfg, tokens, t)
+    return unpatchify(params, cfg, out, grid)
+
+
+# ---------------------------------------------------------------------------
+# Torch checkpoint ingestion
+# ---------------------------------------------------------------------------
+
+
+def _t(arr) -> np.ndarray:
+    """torch tensor / numpy -> numpy (no torch import requirement here)."""
+    if hasattr(arr, "detach"):
+        arr = arr.detach().to("cpu")
+        if arr.dtype.__str__() == "torch.bfloat16":
+            arr = arr.float()
+        arr = arr.numpy()
+    return np.asarray(arr)
+
+
+def _lin_from(sd, prefix, dtype) -> Params:
+    p = {"w": jnp.asarray(_t(sd[f"{prefix}.weight"]).T, dtype)}
+    if f"{prefix}.bias" in sd:
+        p["b"] = jnp.asarray(_t(sd[f"{prefix}.bias"]), dtype)
+    return p
+
+
+def params_from_torch_state_dict(sd: dict, cfg: WanDiTConfig) -> Params:
+    """Convert the reference WanModel state dict (diffsynth key naming,
+    wan_video_dit.py converters) into our stacked pytree."""
+    dt = cfg.dtype
+    pt, ph, pw = cfg.patch_size
+
+    pe_w = _t(sd["patch_embedding.weight"])  # (dim, c, pt, ph, pw)
+    pe_w = pe_w.reshape(cfg.dim, -1).T  # (c*pt*ph*pw, dim)
+    params: Params = {
+        "patch_embedding": {
+            "w": jnp.asarray(pe_w, dt),
+            "b": jnp.asarray(_t(sd["patch_embedding.bias"]), dt),
+        },
+        "text_embedding": {
+            "0": _lin_from(sd, "text_embedding.0", dt),
+            "2": _lin_from(sd, "text_embedding.2", dt),
+        },
+        "time_embedding": {
+            "0": _lin_from(sd, "time_embedding.0", dt),
+            "2": _lin_from(sd, "time_embedding.2", dt),
+        },
+        "time_projection": {"1": _lin_from(sd, "time_projection.1", dt)},
+        "head": {
+            "head": _lin_from(sd, "head.head", dt),
+            "modulation": jnp.asarray(_t(sd["head.modulation"]), dt),
+        },
+    }
+    if cfg.has_image_input:
+        params["img_emb"] = {
+            "norm0": {
+                "w": jnp.asarray(_t(sd["img_emb.proj.0.weight"]), dt),
+                "b": jnp.asarray(_t(sd["img_emb.proj.0.bias"]), dt),
+            },
+            "fc1": _lin_from(sd, "img_emb.proj.1", dt),
+            "fc3": _lin_from(sd, "img_emb.proj.3", dt),
+            "norm4": {
+                "w": jnp.asarray(_t(sd["img_emb.proj.4.weight"]), dt),
+                "b": jnp.asarray(_t(sd["img_emb.proj.4.bias"]), dt),
+            },
+        }
+
+    def block_params(i: int) -> Params:
+        b = f"blocks.{i}"
+        p = {
+            "self_attn": {
+                "q": _lin_from(sd, f"{b}.self_attn.q", dt),
+                "k": _lin_from(sd, f"{b}.self_attn.k", dt),
+                "v": _lin_from(sd, f"{b}.self_attn.v", dt),
+                "o": _lin_from(sd, f"{b}.self_attn.o", dt),
+                "norm_q": {"w": jnp.asarray(_t(sd[f"{b}.self_attn.norm_q.weight"]), dt)},
+                "norm_k": {"w": jnp.asarray(_t(sd[f"{b}.self_attn.norm_k.weight"]), dt)},
+            },
+            "cross_attn": {
+                "q": _lin_from(sd, f"{b}.cross_attn.q", dt),
+                "k": _lin_from(sd, f"{b}.cross_attn.k", dt),
+                "v": _lin_from(sd, f"{b}.cross_attn.v", dt),
+                "o": _lin_from(sd, f"{b}.cross_attn.o", dt),
+                "norm_q": {"w": jnp.asarray(_t(sd[f"{b}.cross_attn.norm_q.weight"]), dt)},
+                "norm_k": {"w": jnp.asarray(_t(sd[f"{b}.cross_attn.norm_k.weight"]), dt)},
+            },
+            "norm3": {
+                "w": jnp.asarray(_t(sd[f"{b}.norm3.weight"]), dt),
+                "b": jnp.asarray(_t(sd[f"{b}.norm3.bias"]), dt),
+            },
+            "ffn": {
+                "0": _lin_from(sd, f"{b}.ffn.0", dt),
+                "2": _lin_from(sd, f"{b}.ffn.2", dt),
+            },
+            "modulation": jnp.asarray(_t(sd[f"{b}.modulation"]), dt),
+        }
+        if cfg.has_image_input:
+            p["cross_attn"]["k_img"] = _lin_from(sd, f"{b}.cross_attn.k_img", dt)
+            p["cross_attn"]["v_img"] = _lin_from(sd, f"{b}.cross_attn.v_img", dt)
+            p["cross_attn"]["norm_k_img"] = {
+                "w": jnp.asarray(_t(sd[f"{b}.cross_attn.norm_k_img.weight"]), dt)
+            }
+        return p
+
+    blocks = [block_params(i) for i in range(cfg.num_layers)]
+    params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    return params
+
+
+def config_from_state_dict_keys(keys) -> WanDiTConfig:
+    """Infer architecture from checkpoint keys (the TPU-native analog of the
+    reference's hash-based detection, wan_video_dit.py:655-712 — we inspect
+    structure rather than hashing so unseen fine-tunes still load)."""
+    keys = set(keys)
+    num_layers = 1 + max(
+        int(k.split(".")[1]) for k in keys if k.startswith("blocks.") and k.split(".")[1].isdigit()
+    )
+    has_image = "blocks.0.cross_attn.k_img.weight" in keys
+    multitalk = any("audio" in k for k in keys)
+    if num_layers >= 40:
+        base = WAN_14B_I2V if has_image else WAN_14B_T2V
+    else:
+        base = WAN_1_3B_T2V
+    return dataclasses.replace(
+        base,
+        num_layers=num_layers,
+        has_image_input=has_image,
+        in_dim=36 if has_image else 16,
+        enable_multitalk=multitalk,
+    )
