@@ -64,10 +64,9 @@ def rope_angles_for_grid(
         ],
         axis=-1,
     ).reshape(f * h * w, head_dim // 2)
-    return (
-        jnp.asarray(np.cos(ang), dtype=jnp.float32),
-        jnp.asarray(np.sin(ang), dtype=jnp.float32),
-    )
+    # numpy outputs: this function is lru_cached and may be called inside a
+    # trace — caching traced jnp constants would leak tracers across traces.
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:

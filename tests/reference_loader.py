@@ -52,9 +52,44 @@ def _ensure_stubs():
         sys.modules["xfuser.core"] = core
         sys.modules["xfuser.core.distributed"] = dist
 
-    if "torchvision" not in sys.modules:
+    if "torchvision" not in sys.modules or not hasattr(
+        sys.modules["torchvision"], "transforms"
+    ):
         tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+
+        class _T:
+            def __init__(self, *a, **k):
+                self.args, self.kwargs = a, k
+
+            def __call__(self, x):
+                raise NotImplementedError("torchvision stub")
+
+        class _Normalize:
+            def __init__(self, mean, std):
+                import torch as _torch
+
+                self.mean = _torch.tensor(mean).view(-1, 1, 1)
+                self.std = _torch.tensor(std).view(-1, 1, 1)
+
+            def __call__(self, x):
+                return (x - self.mean.to(x.dtype)) / self.std.to(x.dtype)
+
+        class _Compose:
+            def __init__(self, transforms):
+                self.transforms = transforms
+
+        class _InterpolationMode:
+            BICUBIC = "bicubic"
+
+        tvt.Compose = _Compose
+        tvt.Resize = _T
+        tvt.ToTensor = _T
+        tvt.Normalize = _Normalize
+        tvt.InterpolationMode = _InterpolationMode
+        tv.transforms = tvt
         sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tvt
 
     if "xformers" not in sys.modules:
         xformers = types.ModuleType("xformers")
