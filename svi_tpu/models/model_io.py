@@ -1,0 +1,299 @@
+"""Checkpoint ingestion & model management (the reference's L2 layer).
+
+Behavioral reference: diffsynth/models/model_manager.py (ModelManager :368,
+load_model_from_single_file :57-105, load_lora_v2 :490-560),
+diffsynth/models/utils.py (load_state_dict, hash_state_dict_keys :179),
+diffsynth/models/lora.py (GeneralLoRAFromPeft :200-267).
+
+Responsibilities:
+  * read safetensors / torch-pickle checkpoints (single file, shard list, or
+    directory of shards) into numpy-backed state dicts;
+  * identify which model a state dict belongs to — structural detection with
+    the reference's md5-of-keys hash kept for provenance/parity;
+  * convert to svi_tpu param pytrees via each model's converter;
+  * fuse LoRA adapters into base weights at load (W += α·B@A — peft
+    `lora_A/lora_B` naming), and capture side-channel extra modules
+    (dwpose_embedding etc.) like the reference's `state_dict_new_module`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import clip_vision, t5, wan_dit, wan_vae
+
+
+# ---------------------------------------------------------------------------
+# State-dict reading
+# ---------------------------------------------------------------------------
+
+
+def _torch_to_numpy(t):
+    if hasattr(t, "detach"):
+        t = t.detach().to("cpu")
+        if str(t.dtype) == "torch.bfloat16":
+            t = t.float()
+        elif str(t.dtype).startswith("torch.float8"):
+            t = t.float()
+        return t.numpy()
+    return np.asarray(t)
+
+
+def load_state_dict(path: str) -> dict:
+    """Load one checkpoint file into {name: numpy array} (ref utils.py
+    load_state_dict_from_safetensors / load_state_dict_from_bin)."""
+    if path.endswith(".safetensors"):
+        from safetensors import safe_open
+
+        out = {}
+        with safe_open(path, framework="np") as f:
+            for k in f.keys():
+                try:
+                    out[k] = f.get_tensor(k)
+                except (TypeError, ValueError):
+                    out[k] = None
+        if any(v is None for v in out.values()):
+            # bf16/fp8 tensors need the torch framework
+            import torch  # noqa: F401
+            with safe_open(path, framework="pt") as f:
+                for k in list(out.keys()):
+                    if out[k] is None:
+                        out[k] = _torch_to_numpy(f.get_tensor(k))
+        return out
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    if "model_state" in sd:
+        sd = sd["model_state"]
+    return {k: _torch_to_numpy(v) for k, v in sd.items() if hasattr(v, "shape")}
+
+
+def load_state_dicts(paths) -> dict:
+    """Merge one file, a shard list, or a directory of shards."""
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            paths = sorted(
+                os.path.join(paths, f)
+                for f in os.listdir(paths)
+                if f.endswith((".safetensors", ".bin", ".pth", ".ckpt"))
+            )
+        else:
+            paths = [paths]
+    out = {}
+    for p in paths:
+        out.update(load_state_dict(p))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Identification
+# ---------------------------------------------------------------------------
+
+
+def _keys_to_str(state_dict, with_shape=True):
+    keys = []
+    for key, value in state_dict.items():
+        if isinstance(key, str):
+            if hasattr(value, "shape"):
+                if with_shape:
+                    shape = "_".join(map(str, list(value.shape)))
+                    keys.append(key + ":" + shape)
+                keys.append(key)
+            elif isinstance(value, dict):
+                keys.append(key + "|" + _keys_to_str(value, with_shape=with_shape))
+    keys.sort()
+    return ",".join(keys)
+
+
+def hash_state_dict_keys(state_dict, with_shape=True) -> str:
+    """Byte-identical to the reference's md5 key hash (utils.py:179-182)."""
+    return hashlib.md5(_keys_to_str(state_dict, with_shape).encode("utf-8")).hexdigest()
+
+
+def detect_model_kind(sd: dict) -> Optional[str]:
+    """Structural detection (robust to fine-tunes, unlike pure hash lookup)."""
+    keys = sd.keys()
+
+    def has(k):
+        return k in keys
+
+    if has("blocks.0.self_attn.q.weight") or has("blocks.0.self_attn.norm_q.weight"):
+        return "wan_video_dit"
+    if has("blocks.0.attn.q.weight") and has("token_embedding.weight"):
+        return "wan_video_text_encoder"
+    if has("encoder.conv1.weight") or has("model.encoder.conv1.weight"):
+        return "wan_video_vae"
+    if any(k.startswith(("visual.", "model.visual.", "textual.")) for k in keys):
+        return "wan_video_image_encoder"
+    if any(".lora_A." in k or ".lora_B." in k for k in keys):
+        return "lora"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# LoRA fusion (ref lora.py GeneralLoRAFromPeft)
+# ---------------------------------------------------------------------------
+
+
+def lora_name_map(lora_sd: dict) -> dict:
+    """peft key pairs -> target torch param name (ref get_name_dict :206-218)."""
+    out = {}
+    for key in lora_sd:
+        if ".lora_B." not in key:
+            continue
+        keys = key.split(".")
+        if len(keys) > keys.index("lora_B") + 2:
+            keys.pop(keys.index("lora_B") + 1)
+        keys.pop(keys.index("lora_B"))
+        if keys[0] == "diffusion_model":
+            keys.pop(0)
+        target = ".".join(keys)
+        out[target] = (key, key.replace(".lora_B.", ".lora_A."))
+    return out
+
+
+def extract_side_modules(sd: dict) -> dict:
+    """Capture extra-module weights carried inside LoRA files
+    (ref model_manager.py:516-518: dwpose_embedding / randomref / inpaint /
+    learn_in embeddings)."""
+    markers = ("dwpose_embedding", "randomref_embedding_pose", "inpaint_embedding",
+               "learn_in_embedding", "randomref")
+    return {k: v for k, v in sd.items() if any(m in k for m in markers)}
+
+
+def _pytree_path_for_torch_name(name: str):
+    """torch param name (diffsynth naming) -> (path tuple, layer index or None)
+    within our stacked wan_dit pytree."""
+    parts = name.split(".")
+    layer = None
+    if parts[0] == "blocks":
+        layer = int(parts[1])
+        parts = ["blocks"] + parts[2:]
+    if parts[-1] == "weight":
+        parts[-1] = "w"
+    elif parts[-1] == "bias":
+        parts[-1] = "b"
+    return tuple(parts), layer
+
+
+def fuse_lora_into_dit_params(params: dict, lora_sd: dict, alpha: float = 1.0) -> tuple[dict, int]:
+    """W += α·B@A fused into (possibly stacked) DiT params (ref lora.py
+    :246-267). Our weights are stored transposed (in, out), so the delta is
+    α·(B@A)^T = α·Aᵀ@Bᵀ. Returns (new_params, n_updated). Raises KeyError on
+    any unmatched target (mirrors the reference's hard failure)."""
+    name_map = lora_name_map(lora_sd)
+    n = 0
+    for target, (up_key, down_key) in name_map.items():
+        up = np.asarray(lora_sd[up_key], np.float32)    # B: (out, r)
+        down = np.asarray(lora_sd[down_key], np.float32)  # A: (r, in)
+        if up.ndim == 4:
+            up, down = up[..., 0, 0], down[..., 0, 0]
+        delta = alpha * (up @ down)  # (out, in)
+        path, layer = _pytree_path_for_torch_name(target)
+        node = params
+        for p in path[:-1]:
+            node = node[p]
+        leaf = node[path[-1]]
+        if path[-1] == "w" and "patch_embedding" not in path:
+            d = delta.T  # our linears are (in, out)
+        else:
+            d = delta
+        d = jnp.asarray(d, leaf.dtype)
+        if layer is not None and leaf.ndim == d.ndim + 1:
+            node[path[-1]] = leaf.at[layer].add(d)
+        else:
+            node[path[-1]] = leaf + d
+        n += 1
+    return params, n
+
+
+# ---------------------------------------------------------------------------
+# ModelManager (reference API surface, ref model_manager.py:368-709)
+# ---------------------------------------------------------------------------
+
+
+class ModelManager:
+    """Loads checkpoints, identifies models, fuses LoRA; pipelines fetch
+    converted param pytrees + configs from it by name."""
+
+    def __init__(self, torch_dtype=jnp.bfloat16, device=None, model_id_list=None,
+                 downloading_priority=None, file_path_list=None, train_architecture=None):
+        self.dtype = torch_dtype
+        self.device = device
+        self.train_architecture = train_architecture
+        self.models: dict[str, tuple[Any, Any]] = {}  # name -> (params, cfg)
+        self.model_paths: dict[str, Any] = {}
+        self.state_dict_new_module: dict = {}
+        self.state_dict_new: dict = {}
+        self.lora_log: list = []
+        if file_path_list:
+            self.load_models(file_path_list)
+
+    # -- loading ------------------------------------------------------------
+
+    def load_model(self, paths, model_names=None, torch_dtype=None):
+        sd = load_state_dicts(paths)
+        kind = detect_model_kind(sd)
+        if kind is None:
+            raise ValueError(
+                f"Cannot identify model from {paths}; key hash "
+                f"{hash_state_dict_keys(sd)} (keys like {list(sd)[:3]})"
+            )
+        dtype = torch_dtype or self.dtype
+        if kind == "wan_video_dit":
+            cfg = wan_dit.config_from_state_dict(sd)
+            cfg = wan_dit.WanDiTConfig(**{**cfg.__dict__, "dtype": dtype})
+            params = wan_dit.params_from_torch_state_dict(sd, cfg)
+        elif kind == "wan_video_text_encoder":
+            cfg = t5.T5Config(dtype=dtype)
+            params = t5.params_from_torch_state_dict(sd, cfg)
+        elif kind == "wan_video_vae":
+            cfg = wan_vae.WAN_VAE  # fp32 on purpose (FAQ.md:27)
+            params = wan_vae.params_from_torch_state_dict(sd, cfg)
+        elif kind == "wan_video_image_encoder":
+            cfg = clip_vision.VIT_H_14  # fp32 on purpose
+            params = clip_vision.params_from_torch_state_dict(sd, cfg)
+        else:
+            raise ValueError(f"load_model cannot load a '{kind}' file; use load_lora_v2")
+        self.models[kind] = (params, cfg)
+        self.model_paths[kind] = paths
+        return kind
+
+    def load_models(self, path_list, model_names=None, torch_dtype=None):
+        for paths in path_list:
+            self.load_model(paths, torch_dtype=torch_dtype)
+
+    def load_lora_v2(self, file_path="", state_dict=None, lora_alpha=1.0):
+        """Fuse LoRA file(s) into the loaded DiT (ref :490-560)."""
+        if isinstance(file_path, (list, tuple)):
+            for p in file_path:
+                self.load_lora_v2(p, lora_alpha=lora_alpha)
+            return
+        sd = state_dict if state_dict else load_state_dict(file_path)
+        self.state_dict_new_module.update(extract_side_modules(sd))
+        if "wan_video_dit" not in self.models:
+            raise RuntimeError("load the DiT before LoRA")
+        params, cfg = self.models["wan_video_dit"]
+        params, n = fuse_lora_into_dit_params(params, sd, alpha=lora_alpha)
+        if n == 0:
+            raise RuntimeError(f"Cannot load LoRA from {file_path}: no matching tensors")
+        self.models["wan_video_dit"] = (params, cfg)
+        self.lora_log.append((file_path, n))
+
+    # -- fetching -----------------------------------------------------------
+
+    def fetch_model(self, model_name, require_model_path=False):
+        if model_name not in self.models:
+            return None
+        entry = self.models[model_name]
+        if require_model_path:
+            return entry, self.model_paths.get(model_name)
+        return entry

@@ -429,10 +429,38 @@ def params_from_torch_state_dict(sd: dict, cfg: WanDiTConfig) -> Params:
     return params
 
 
+def config_from_state_dict(sd) -> WanDiTConfig:
+    """Infer architecture from checkpoint tensor shapes (the TPU-native analog
+    of the reference's hash-based detection, wan_video_dit.py:655-712 — we
+    inspect structure rather than hashing so unseen fine-tunes still load).
+
+    `sd` maps names to arrays (or anything with .shape). num_heads follows
+    Wan's fixed head_dim of 128 when dim divides; tiny test configs fall back
+    to head_dim 32."""
+    keys = set(sd.keys())
+    num_layers = 1 + max(
+        int(k.split(".")[1]) for k in keys if k.startswith("blocks.") and k.split(".")[1].isdigit()
+    )
+    has_image = "blocks.0.cross_attn.k_img.weight" in keys
+    multitalk = any("audio" in k for k in keys)
+    pe = sd["patch_embedding.weight"].shape  # (dim, in_dim, pt, ph, pw)
+    dim, in_dim = int(pe[0]), int(pe[1])
+    patch = tuple(int(x) for x in pe[2:])
+    ffn_dim = int(sd["blocks.0.ffn.0.weight"].shape[0])
+    text_dim = int(sd["text_embedding.0.weight"].shape[1])
+    freq_dim = int(sd["time_embedding.0.weight"].shape[1])
+    head_out = int(sd["head.head.weight"].shape[0])
+    out_dim = head_out // (patch[0] * patch[1] * patch[2])
+    num_heads = dim // 128 if dim % 128 == 0 else max(1, dim // 32)
+    return WanDiTConfig(
+        dim=dim, in_dim=in_dim, ffn_dim=ffn_dim, out_dim=out_dim, text_dim=text_dim,
+        freq_dim=freq_dim, patch_size=patch, num_heads=num_heads, num_layers=num_layers,
+        has_image_input=has_image, enable_multitalk=multitalk,
+    )
+
+
 def config_from_state_dict_keys(keys) -> WanDiTConfig:
-    """Infer architecture from checkpoint keys (the TPU-native analog of the
-    reference's hash-based detection, wan_video_dit.py:655-712 — we inspect
-    structure rather than hashing so unseen fine-tunes still load)."""
+    """Key-only variant (no shapes): resolves among the known Wan configs."""
     keys = set(keys)
     num_layers = 1 + max(
         int(k.split(".")[1]) for k in keys if k.startswith("blocks.") and k.split(".")[1].isdigit()

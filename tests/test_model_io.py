@@ -1,0 +1,137 @@
+"""Checkpoint ingestion: loading, detection, hash parity, LoRA fusion."""
+
+import numpy as np
+import pytest
+import torch
+
+from reference_loader import load_ref_module
+
+import jax.numpy as jnp
+
+from svi_tpu.models import model_io, wan_dit
+
+ref_dit = load_ref_module("diffsynth.models.wan_video_dit")
+ref_utils = load_ref_module("diffsynth.models.utils")
+
+TINY = dict(
+    dim=64, in_dim=16, ffn_dim=128, out_dim=16, text_dim=48, freq_dim=32,
+    eps=1e-6, patch_size=(1, 2, 2), num_heads=2, num_layers=2,
+)
+
+
+def tiny_pair(seed=0):
+    torch.manual_seed(seed)
+    tm = ref_dit.WanModel(has_image_input=False, **TINY).eval()
+    cfg = wan_dit.WanDiTConfig(
+        dtype=jnp.float32, **{k: v for k, v in TINY.items() if k != "eps"}
+    )
+    return tm, cfg
+
+
+def test_hash_matches_reference():
+    tm, _ = tiny_pair()
+    sd = tm.state_dict()
+    ref_hash = ref_utils.hash_state_dict_keys(sd)
+    ours = model_io.hash_state_dict_keys({k: v.numpy() for k, v in sd.items()})
+    assert ours == ref_hash
+
+
+def test_safetensors_roundtrip_and_detection(tmp_path):
+    from safetensors.torch import save_file
+
+    tm, cfg = tiny_pair()
+    path = str(tmp_path / "dit.safetensors")
+    save_file(tm.state_dict(), path)
+    sd = model_io.load_state_dict(path)
+    assert model_io.detect_model_kind(sd) == "wan_video_dit"
+    params = wan_dit.params_from_torch_state_dict(sd, cfg)
+    ref_params = wan_dit.params_from_torch_state_dict(tm.state_dict(), cfg)
+    for a, b in zip(
+        __import__("jax").tree.leaves(params), __import__("jax").tree.leaves(ref_params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_torch_pickle_loading(tmp_path):
+    tm, _ = tiny_pair()
+    path = str(tmp_path / "dit.pth")
+    torch.save(tm.state_dict(), path)
+    sd = model_io.load_state_dict(path)
+    assert model_io.detect_model_kind(sd) == "wan_video_dit"
+    assert sd["blocks.0.self_attn.q.weight"].shape == (64, 64)
+
+
+def make_peft_lora(tm, rank=4, seed=0):
+    """Build a peft-style LoRA state dict over q/k/v/o/ffn like train_svi."""
+    rng = np.random.default_rng(seed)
+    sd = {}
+    targets = []
+    for i in range(TINY["num_layers"]):
+        for mod in ["self_attn.q", "self_attn.k", "self_attn.v", "self_attn.o",
+                    "cross_attn.q", "ffn.0", "ffn.2"]:
+            targets.append(f"blocks.{i}.{mod}")
+    base_sd = tm.state_dict()
+    for t in targets:
+        w = base_sd[f"{t}.weight"]
+        out_d, in_d = w.shape
+        sd[f"{t}.lora_A.default.weight"] = torch.tensor(
+            rng.standard_normal((rank, in_d)).astype(np.float32) * 0.05
+        )
+        sd[f"{t}.lora_B.default.weight"] = torch.tensor(
+            rng.standard_normal((out_d, rank)).astype(np.float32) * 0.05
+        )
+    return sd
+
+
+def test_lora_fusion_matches_reference():
+    tm, cfg = tiny_pair(1)
+    lora_sd = make_peft_lora(tm, seed=2)
+
+    # reference fusion
+    ref_lora = load_ref_module("diffsynth.models.lora")
+    loader = ref_lora.GeneralLoRAFromPeft()
+    import copy
+
+    tm_fused = copy.deepcopy(tm)
+    loader.load(tm_fused, lora_sd, alpha=1.0)
+    ref_params = wan_dit.params_from_torch_state_dict(tm_fused.state_dict(), cfg)
+
+    # ours
+    params = wan_dit.params_from_torch_state_dict(tm.state_dict(), cfg)
+    lora_np = {k: v.numpy() for k, v in lora_sd.items()}
+    fused, n = model_io.fuse_lora_into_dit_params(params, lora_np, alpha=1.0)
+    assert n == len(model_io.lora_name_map(lora_np))
+
+    import jax
+
+    for a, b in zip(jax.tree.leaves(fused), jax.tree.leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_side_module_extraction():
+    sd = {
+        "dwpose_embedding.0.weight": np.zeros(3),
+        "blocks.0.self_attn.q.lora_A.default.weight": np.zeros((4, 8)),
+        "randomref_embedding_pose.1.bias": np.ones(2),
+    }
+    side = model_io.extract_side_modules(sd)
+    assert set(side) == {"dwpose_embedding.0.weight", "randomref_embedding_pose.1.bias"}
+
+
+def test_model_manager_end_to_end(tmp_path):
+    from safetensors.torch import save_file
+
+    tm, cfg = tiny_pair(3)
+    path = str(tmp_path / "dit.safetensors")
+    save_file(tm.state_dict(), path)
+    lora_sd = make_peft_lora(tm, seed=4)
+    lora_path = str(tmp_path / "lora.safetensors")
+    save_file({k: v for k, v in lora_sd.items()}, lora_path)
+
+    mm = model_io.ModelManager(torch_dtype=jnp.float32)
+    mm.load_models([path])
+    mm.load_lora_v2(lora_path, lora_alpha=1.0)
+    (params, loaded_cfg) = mm.fetch_model("wan_video_dit")
+    assert loaded_cfg.num_layers == TINY["num_layers"]
+    assert mm.lora_log[0][1] == len(model_io.lora_name_map(lora_sd))
+    assert mm.fetch_model("wan_video_vae") is None
