@@ -273,7 +273,7 @@ def head(params: Params, cfg: WanDiTConfig, x: jax.Array, t: jax.Array) -> jax.A
     return _dense(p["head"], layer_norm(x, eps=cfg.eps) * (1 + scale) + shift)
 
 
-def forward(
+def forward_prelude(
     params: Params,
     cfg: WanDiTConfig,
     x: jax.Array,
@@ -282,15 +282,10 @@ def forward(
     clip_feature: Optional[jax.Array] = None,
     y: Optional[jax.Array] = None,
     add_condition: Optional[jax.Array] = None,
-    use_remat: bool = False,
-) -> jax.Array:
-    """Full DiT forward (wan_video_dit.py:486-567 / svi_video.py:74-137).
-
-    x: (b, 16, f, h, w) latents; timestep: (b,) or scalar; context:
-    (b, text_len, text_dim) T5 states; clip_feature: (b, 257, 1280);
-    y: (b, 20, f, h, w) conditioning (mask ‖ VAE latent) for I2V;
-    add_condition: (b, S, dim) pose tokens (SVI-Dance).
-    """
+):
+    """Everything before the block stack (wan_video_dit.py:499-531): time
+    embeddings, text/clip context projection, patchify, pose add_condition.
+    Returns (tokens, ctx, t, t_mod, grid)."""
     dtype = cfg.dtype
     x = x.astype(dtype)
     if timestep.ndim == 0:
@@ -309,8 +304,12 @@ def forward(
     tokens, grid = patchify(params, cfg, x)
     if add_condition is not None:
         tokens = add_condition.astype(dtype) + tokens
-    cos, sin = rope_angles_for_grid(grid, cfg.head_dim)
+    return tokens, ctx, t, t_mod, grid
 
+
+def forward_blocks(params, cfg: WanDiTConfig, tokens, ctx, t_mod, grid, use_remat=False):
+    """The scanned DiT block stack (wan_video_dit.py:547-563)."""
+    cos, sin = rope_angles_for_grid(grid, cfg.head_dim)
     block = dit_block
     if use_remat:
         block = jax.checkpoint(dit_block, static_argnums=(1,))
@@ -319,9 +318,38 @@ def forward(
         return block(block_params, cfg, tok, ctx, t_mod, cos, sin), None
 
     tokens, _ = jax.lax.scan(scan_body, tokens, params["blocks"])
+    return tokens
 
+
+def forward_head(params, cfg: WanDiTConfig, tokens, t, grid):
+    """Final modulated head + unpatchify (wan_video_dit.py:565-567)."""
     out = head(params, cfg, tokens, t)
     return unpatchify(params, cfg, out, grid)
+
+
+def forward(
+    params: Params,
+    cfg: WanDiTConfig,
+    x: jax.Array,
+    timestep: jax.Array,
+    context: jax.Array,
+    clip_feature: Optional[jax.Array] = None,
+    y: Optional[jax.Array] = None,
+    add_condition: Optional[jax.Array] = None,
+    use_remat: bool = False,
+) -> jax.Array:
+    """Full DiT forward (wan_video_dit.py:486-567 / svi_video.py:74-137).
+
+    x: (b, 16, f, h, w) latents; timestep: (b,) or scalar; context:
+    (b, text_len, text_dim) T5 states; clip_feature: (b, 257, 1280);
+    y: (b, 20, f, h, w) conditioning (mask ‖ VAE latent) for I2V;
+    add_condition: (b, S, dim) pose tokens (SVI-Dance).
+    """
+    tokens, ctx, t, t_mod, grid = forward_prelude(
+        params, cfg, x, timestep, context, clip_feature, y, add_condition
+    )
+    tokens = forward_blocks(params, cfg, tokens, ctx, t_mod, grid, use_remat=use_remat)
+    return forward_head(params, cfg, tokens, t, grid)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,200 @@
+"""Integration: SVIVideoPipeline end-to-end on tiny models (CPU), clip loop,
+conditioning mask layout vs the reference math, TeaCache path."""
+
+import numpy as np
+import pytest
+import torch
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from svi_tpu.models import clip_vision, wan_dit, wan_vae
+from svi_tpu.pipelines.svi_video import SVIVideoPipeline, TeaCache
+
+Z = 4  # tiny VAE latent channels
+H = W = 64
+NF = 9  # frames per clip (1+4k)
+
+
+def tiny_pipeline(seed=0):
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    vae_cfg = wan_vae.WanVAEConfig(dim=16, z_dim=Z, dtype=jnp.float32)
+    vae_params = wan_vae.init_params(k1, vae_cfg)
+    dit_cfg = wan_dit.WanDiTConfig(
+        dim=64, in_dim=Z + 4 + Z, ffn_dim=128, out_dim=Z, text_dim=48, freq_dim=32,
+        num_heads=2, num_layers=2, has_image_input=True, dtype=jnp.float32,
+        clip_feature_dim=40,
+    )
+    dit_params = wan_dit.init_params(k2, dit_cfg)
+    clip_cfg = clip_vision.ClipVisionConfig(
+        image_size=28, patch_size=14, dim=40, mlp_ratio=2, num_heads=2, num_layers=2,
+        dtype=jnp.float32,
+    )
+    clip_params = clip_vision.init_params(k3, clip_cfg)
+
+    pipe = SVIVideoPipeline(torch_dtype=jnp.float32)
+    pipe.dit = (dit_params, dit_cfg)
+    pipe.vae = (vae_params, vae_cfg)
+    pipe.image_encoder = (clip_params, clip_cfg)
+    return pipe
+
+
+def rand_image(seed, h=H, w=W):
+    rng = np.random.default_rng(seed)
+    return Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+
+
+CTX = np.random.default_rng(99).standard_normal((1, 12, 48)).astype(np.float32)
+
+
+def run_clip(pipe, input_image, ref_frame, seed, **kw):
+    return pipe(
+        input_image=input_image,
+        random_ref_frame=np.array(ref_frame),
+        seed=seed,
+        height=H, width=W, num_frames=NF,
+        cfg_scale=5.0, num_inference_steps=3,
+        tiled=False,
+        prompt_emb_posi=CTX, prompt_emb_nega=CTX * 0.5,
+        ref_pad_num=-1,
+        **kw,
+    )
+
+
+def test_single_clip_shapes_and_finite():
+    pipe = tiny_pipeline()
+    frames = run_clip(pipe, rand_image(0), rand_image(1), seed=7)
+    assert len(frames) == NF
+    assert frames[0].size == (W, H)
+    arr = np.array(frames[0])
+    assert arr.dtype == np.uint8
+
+
+def test_clip_loop_motion_frame_recycling():
+    """The infinite-video outer loop (test_svi.py:424-476): condition clip k+1
+    on the last num_motion_frames frames of clip k."""
+    pipe = tiny_pipeline()
+    anchor = rand_image(1)
+    num_motion_frames = 4
+    video = run_clip(pipe, rand_image(0), anchor, seed=0)
+    motion = video[-num_motion_frames:]
+    video2 = run_clip(pipe, motion, anchor, seed=13)
+    assert len(video2) == NF
+    full = video[:-num_motion_frames] + video2
+    assert len(full) == NF + NF - num_motion_frames
+
+
+def test_mask_layout_matches_reference_math():
+    """Replicates svi_video.py:319-326 in torch and checks our y mask channels."""
+    pipe = tiny_pipeline()
+    num_frames, ncond = NF, 2
+    emb = pipe.encode_images_adaptive(
+        [rand_image(2), rand_image(3)], rand_image(4), num_frames, H, W,
+        ref_pad_cfg=True, ref_pad_num=0,
+    )
+    y = np.asarray(emb["y"], np.float32)
+    assert y.shape == (1, 4 + Z, (num_frames - 1) // 4 + 1, H // 8, W // 8)
+
+    msk = torch.ones(1, num_frames, H // 8, W // 8)
+    msk[:, ncond:] = 0  # ref_pad_cfg branch
+    msk = torch.concat([torch.repeat_interleave(msk[:, 0:1], repeats=4, dim=1), msk[:, 1:]], dim=1)
+    msk = msk.view(1, msk.shape[1] // 4, 4, H // 8, W // 8)
+    msk = msk.transpose(1, 2)[0]
+    np.testing.assert_array_equal(y[0, :4], msk.numpy())
+
+    # default branch: only frame 0 marked
+    emb2 = pipe.encode_images_adaptive(
+        [rand_image(2)], rand_image(4), num_frames, H, W, ref_pad_cfg=False, ref_pad_num=-1,
+    )
+    y2 = np.asarray(emb2["y"], np.float32)
+    msk = torch.ones(1, num_frames, H // 8, W // 8)
+    msk[:, 1:] = 0
+    msk = torch.concat([torch.repeat_interleave(msk[:, 0:1], repeats=4, dim=1), msk[:, 1:]], dim=1)
+    msk = msk.view(1, msk.shape[1] // 4, 4, H // 8, W // 8)
+    msk = msk.transpose(1, 2)[0]
+    np.testing.assert_array_equal(y2[0, :4], msk.numpy())
+
+
+def test_ref_pad_variants():
+    pipe = tiny_pipeline()
+    for ref_pad_num in (0, 2, -1):
+        emb = pipe.encode_images_adaptive(
+            [rand_image(5)], rand_image(6), NF, H, W, ref_pad_num=ref_pad_num,
+        )
+        assert emb["y"].shape[1] == 4 + Z
+
+
+def test_teacache_path_runs():
+    pipe = tiny_pipeline()
+    frames = run_clip(
+        pipe, rand_image(0), rand_image(1), seed=3,
+        tea_cache_l1_thresh=1e9, tea_cache_model_id="Wan2.1-T2V-1.3B",
+    )
+    assert len(frames) == NF
+
+
+class _RefTeaCache:
+    """Inline replica of the reference TeaCache.check (svi_video.py:44-64),
+    used as golden logic (importing the reference pipeline module pulls in its
+    whole package tree)."""
+
+    def __init__(self, n, thresh, coeffs):
+        self.n, self.thresh, self.coeffs = n, thresh, coeffs
+        self.step = 0
+        self.acc = 0.0
+        self.prev = None
+
+    def check(self, t_mod):
+        modulated = torch.tensor(t_mod).clone()
+        if self.step == 0 or self.step == self.n - 1:
+            should_calc = True
+            self.acc = 0.0
+        else:
+            rescale = np.poly1d(self.coeffs)
+            self.acc += rescale(
+                ((modulated - self.prev).abs().mean() / self.prev.abs().mean()).item()
+            )
+            if self.acc < self.thresh:
+                should_calc = False
+            else:
+                should_calc = True
+                self.acc = 0.0
+        self.prev = modulated
+        self.step += 1
+        if self.step == self.n:
+            self.step = 0
+        return not should_calc
+
+
+def test_teacache_decision_parity():
+    """TeaCache.check decisions match the reference logic step-for-step."""
+    rng = np.random.default_rng(0)
+    n = 10
+    ours = TeaCache(n, rel_l1_thresh=0.05, model_id="Wan2.1-T2V-1.3B")
+    theirs = _RefTeaCache(n, 0.05, TeaCache.COEFFICIENTS["Wan2.1-T2V-1.3B"])
+    decisions = []
+    for i in range(n):
+        t_mod = rng.standard_normal((1, 6, 8)).astype(np.float32) * (1 + i * 0.01)
+        x = rng.standard_normal((1, 4, 8)).astype(np.float32)
+        skip_ours = ours.check(jnp.asarray(x), jnp.asarray(t_mod))
+        skip_theirs = theirs.check(t_mod)
+        assert skip_ours == skip_theirs, f"step {i}"
+        decisions.append(skip_ours)
+        if not skip_ours:
+            ours.store(jnp.asarray(x) * 2)
+    assert decisions[0] is False and decisions[-1] is False  # endpoints always compute
+    assert any(decisions), "threshold 0.05 should skip at least one step"
+
+
+def test_seeded_noise_matches_reference():
+    """generate_noise is bit-identical to torch.randn on a seeded CPU gen."""
+    from svi_tpu.pipelines import base
+
+    ref = torch.randn(
+        (1, 4, 3, 8, 8), generator=torch.Generator("cpu").manual_seed(42),
+        dtype=torch.float32,
+    ).numpy()
+    ours = base.generate_noise((1, 4, 3, 8, 8), seed=42)
+    np.testing.assert_array_equal(ours, ref)
