@@ -164,6 +164,24 @@ def _dense(p: Params, x: jax.Array) -> jax.Array:
     return y
 
 
+def _dense_lora(p: Params, x: jax.Array, lora, scale: float) -> jax.Array:
+    """Dense with an unfused LoRA side path: y = xW + scale·(xA)B.
+
+    Train-time analog of peft's injected adapters (train_svi.py:948-966);
+    the low-rank matmuls run in x.dtype on the MXU while master LoRA params
+    stay fp32 in the optimizer."""
+    y = _dense(p, x)
+    if lora is not None:
+        a = lora["a"].astype(x.dtype)  # (in, r)
+        b = lora["b"].astype(x.dtype)  # (r, out)
+        y = y + ((x @ a) @ b) * jnp.asarray(scale, x.dtype)
+    return y
+
+
+def _l(lora, key):
+    return None if lora is None else lora.get(key)
+
+
 def patchify(params: Params, cfg: WanDiTConfig, x: jax.Array):
     """x: (b, c, f, h, w) -> tokens (b, f'*h'*w', dim), grid (f', h', w').
 
@@ -195,20 +213,22 @@ def unpatchify(params: Params, cfg: WanDiTConfig, x: jax.Array, grid) -> jax.Arr
     return x.reshape(b, c, fg * pt, hg * ph, wg * pw)
 
 
-def _self_attention(p: Params, cfg: WanDiTConfig, x: jax.Array, cos, sin) -> jax.Array:
+def _self_attention(p: Params, cfg: WanDiTConfig, x: jax.Array, cos, sin,
+                    lora=None, lora_scale: float = 1.0) -> jax.Array:
     b, s, d = x.shape
     n, hd = cfg.num_heads, cfg.head_dim
-    q = rms_norm(_dense(p["q"], x), p["norm_q"]["w"], eps=cfg.eps)
-    k = rms_norm(_dense(p["k"], x), p["norm_k"]["w"], eps=cfg.eps)
-    v = _dense(p["v"], x).reshape(b, s, n, hd)
+    q = rms_norm(_dense_lora(p["q"], x, _l(lora, "q"), lora_scale), p["norm_q"]["w"], eps=cfg.eps)
+    k = rms_norm(_dense_lora(p["k"], x, _l(lora, "k"), lora_scale), p["norm_k"]["w"], eps=cfg.eps)
+    v = _dense_lora(p["v"], x, _l(lora, "v"), lora_scale).reshape(b, s, n, hd)
     q = apply_rope(q.reshape(b, s, n, hd), cos, sin)
     k = apply_rope(k.reshape(b, s, n, hd), cos, sin)
     o = flash_attention(q, k, v).reshape(b, s, d)
-    return _dense(p["o"], o)
+    return _dense_lora(p["o"], o, _l(lora, "o"), lora_scale)
 
 
 def _cross_attention(
-    p: Params, cfg: WanDiTConfig, x: jax.Array, ctx: jax.Array, num_img_tokens: int = 257
+    p: Params, cfg: WanDiTConfig, x: jax.Array, ctx: jax.Array, num_img_tokens: int = 257,
+    lora=None, lora_scale: float = 1.0,
 ) -> jax.Array:
     """Text (+image) cross attention (wan_video_dit.py:245-303)."""
     b, s, d = x.shape
@@ -217,9 +237,9 @@ def _cross_attention(
         img, txt = ctx[:, :num_img_tokens], ctx[:, num_img_tokens:]
     else:
         img, txt = None, ctx
-    q = rms_norm(_dense(p["q"], x), p["norm_q"]["w"], eps=cfg.eps).reshape(b, s, n, hd)
-    k = rms_norm(_dense(p["k"], txt), p["norm_k"]["w"], eps=cfg.eps)
-    v = _dense(p["v"], txt)
+    q = rms_norm(_dense_lora(p["q"], x, _l(lora, "q"), lora_scale), p["norm_q"]["w"], eps=cfg.eps).reshape(b, s, n, hd)
+    k = rms_norm(_dense_lora(p["k"], txt, _l(lora, "k"), lora_scale), p["norm_k"]["w"], eps=cfg.eps)
+    v = _dense_lora(p["v"], txt, _l(lora, "v"), lora_scale)
     lk = txt.shape[1]
     o = flash_attention(q, k.reshape(b, lk, n, hd), v.reshape(b, lk, n, hd))
     if img is not None:
@@ -227,22 +247,28 @@ def _cross_attention(
         v_img = _dense(p["v_img"], img)
         li = img.shape[1]
         o = o + flash_attention(q, k_img.reshape(b, li, n, hd), v_img.reshape(b, li, n, hd))
-    return _dense(p["o"], o.reshape(b, s, d))
+    return _dense_lora(p["o"], o.reshape(b, s, d), _l(lora, "o"), lora_scale)
 
 
-def dit_block(p: Params, cfg: WanDiTConfig, x, context, t_mod, cos, sin):
+def dit_block(p: Params, cfg: WanDiTConfig, x, context, t_mod, cos, sin,
+              lora=None, lora_scale: float = 1.0):
     """One DiT block (wan_video_dit.py:354-374), adaLN-modulated."""
     mod = (p["modulation"].astype(t_mod.dtype) + t_mod)  # (b, 6, d)
     shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
         mod[:, i][:, None, :] for i in range(6)
     ]
     input_x = modulate(layer_norm(x, eps=1e-6), shift_msa, scale_msa)
-    x = x + gate_msa * _self_attention(p["self_attn"], cfg, input_x, cos, sin)
+    x = x + gate_msa * _self_attention(
+        p["self_attn"], cfg, input_x, cos, sin, lora=_l(lora, "self_attn"), lora_scale=lora_scale
+    )
     x = x + _cross_attention(
-        p["cross_attn"], cfg, layer_norm(x, p["norm3"]["w"], p["norm3"]["b"], eps=cfg.eps), context
+        p["cross_attn"], cfg, layer_norm(x, p["norm3"]["w"], p["norm3"]["b"], eps=cfg.eps), context,
+        lora=_l(lora, "cross_attn"), lora_scale=lora_scale,
     )
     input_x = modulate(layer_norm(x, eps=1e-6), shift_mlp, scale_mlp)
-    ffn = _dense(p["ffn"]["2"], gelu_tanh(_dense(p["ffn"]["0"], input_x)))
+    ffn_lora = _l(lora, "ffn")
+    h = gelu_tanh(_dense_lora(p["ffn"]["0"], input_x, _l(ffn_lora, "0"), lora_scale))
+    ffn = _dense_lora(p["ffn"]["2"], h, _l(ffn_lora, "2"), lora_scale)
     return x + gate_mlp * ffn
 
 
@@ -307,17 +333,29 @@ def forward_prelude(
     return tokens, ctx, t, t_mod, grid
 
 
-def forward_blocks(params, cfg: WanDiTConfig, tokens, ctx, t_mod, grid, use_remat=False):
-    """The scanned DiT block stack (wan_video_dit.py:547-563)."""
+def forward_blocks(params, cfg: WanDiTConfig, tokens, ctx, t_mod, grid, use_remat=False,
+                   lora=None, lora_scale: float = 1.0):
+    """The scanned DiT block stack (wan_video_dit.py:547-563). `lora` is an
+    optional stacked per-block pytree of unfused adapters (training)."""
     cos, sin = rope_angles_for_grid(grid, cfg.head_dim)
-    block = dit_block
+
+    def block_fn(tok, bp, lbp):
+        return dit_block(bp, cfg, tok, ctx, t_mod, cos, sin, lora=lbp, lora_scale=lora_scale)
+
     if use_remat:
-        block = jax.checkpoint(dit_block, static_argnums=(1,))
+        block_fn = jax.checkpoint(block_fn)
 
-    def scan_body(tok, block_params):
-        return block(block_params, cfg, tok, ctx, t_mod, cos, sin), None
+    if lora is None:
+        def scan_body(tok, bp):
+            return block_fn(tok, bp, None), None
 
-    tokens, _ = jax.lax.scan(scan_body, tokens, params["blocks"])
+        tokens, _ = jax.lax.scan(scan_body, tokens, params["blocks"])
+    else:
+        def scan_body(tok, xs):
+            bp, lbp = xs
+            return block_fn(tok, bp, lbp), None
+
+        tokens, _ = jax.lax.scan(scan_body, tokens, (params["blocks"], lora))
     return tokens
 
 
@@ -337,18 +375,24 @@ def forward(
     y: Optional[jax.Array] = None,
     add_condition: Optional[jax.Array] = None,
     use_remat: bool = False,
+    lora=None,
+    lora_scale: float = 1.0,
 ) -> jax.Array:
     """Full DiT forward (wan_video_dit.py:486-567 / svi_video.py:74-137).
 
     x: (b, 16, f, h, w) latents; timestep: (b,) or scalar; context:
     (b, text_len, text_dim) T5 states; clip_feature: (b, 257, 1280);
     y: (b, 20, f, h, w) conditioning (mask ‖ VAE latent) for I2V;
-    add_condition: (b, S, dim) pose tokens (SVI-Dance).
+    add_condition: (b, S, dim) pose tokens (SVI-Dance);
+    lora: optional stacked unfused adapters (training).
     """
     tokens, ctx, t, t_mod, grid = forward_prelude(
         params, cfg, x, timestep, context, clip_feature, y, add_condition
     )
-    tokens = forward_blocks(params, cfg, tokens, ctx, t_mod, grid, use_remat=use_remat)
+    tokens = forward_blocks(
+        params, cfg, tokens, ctx, t_mod, grid, use_remat=use_remat,
+        lora=lora, lora_scale=lora_scale,
+    )
     return forward_head(params, cfg, tokens, t, grid)
 
 

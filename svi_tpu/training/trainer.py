@@ -1,0 +1,275 @@
+"""Error-Recycling LoRA trainer (behavioral ref: train_svi.py:627-1304).
+
+Split of responsibilities, TPU-first:
+  * the TRAIN STEP is one jitted pure function: forward (bf16, remat over the
+    scanned blocks) + weighted-MSE loss + AdamW-with-clipping update of the
+    fp32 LoRA adapters + one-step bidirectional error extraction (pure
+    flow-match algebra, ref :1151-1160) — all on device;
+  * ERROR BUFFERS and the injection probability logic live on host
+    (error_recycling.ErrorBuffers), exactly like the reference keeps buffers
+    on CPU (:779);
+  * data parallelism: batch entries shard over the mesh's 'data' axis, LoRA
+    params and optimizer state are replicated; gradient averaging is the
+    mean-over-batch loss (XLA inserts the psum). Buffer warmup "all-gather
+    across GPUs" (ref :1163-1174) becomes: read the full (sharded) error batch
+    back to host and bank every entry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import wan_dit
+from ..schedulers import flow_match as fm
+from . import lora as lora_mod
+from .error_recycling import ErrorBuffers
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    # optimization (train_svi.py defaults / scripts/train/svi_shot.sh)
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-2
+    gradient_clip_val: float = 1.0
+    lora_rank: int = 128
+    lora_alpha: float = 128.0
+    lora_targets: tuple = lora_mod.DEFAULT_TARGETS
+    use_gradient_checkpointing: bool = True
+    # error recycling (ref :684-712)
+    use_error_recycling: bool = True
+    error_buffer_k: int = 500
+    buffer_replacement_strategy: str = "random"
+    buffer_warmup_iter: int = 50
+    num_grids: int = 40
+    error_modulate_factor: float = 0.2
+    noise_prob: float = 0.99
+    y_prob: float = 0.99
+    latent_prob: float = 0.99
+    clean_prob: float = 0.1
+    clean_buffer_update_prob: float = 0.5
+    y_error_num: int = 1
+    use_last_y_error: bool = False
+    y_error_sample_from_all_grids: bool = False
+    y_error_sample_range: Optional[tuple[int, int]] = None
+    num_train_timesteps: int = 1000
+    sigma_shift: float = 5.0
+    seed: int = 0
+
+
+def make_optimizer(cfg: TrainerConfig):
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.gradient_clip_val),
+        optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay),
+    )
+
+
+def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=True):
+    """Returns jitted train_step(lora, opt_state, base_params, batch) ->
+    (lora, opt_state, metrics dict with loss/noise_error/y_error).
+
+    batch: dict of device arrays —
+      latents (b,16,f,h,w), noise_w_error (same), latents_w_error (same),
+      timestep (b,), timestep_id (b,) int32 into the training schedule,
+      context (b,L,4096), clip_feature (b,257,1280) | None, y (b,20,f,h,w) | None.
+    """
+
+    def loss_fn(lora, base_params, batch):
+        tid = batch["timestep_id"]
+        sigma = schedule.sigmas[tid][:, None, None, None, None]
+        noisy = (1 - sigma) * batch["latents_w_error"].astype(jnp.float32) + sigma * batch[
+            "noise_w_error"
+        ].astype(jnp.float32)
+        # self-corrected velocity target: noise_w_error - CLEAN latents (ref :1139)
+        target = batch["noise_w_error"].astype(jnp.float32) - batch["latents"].astype(jnp.float32)
+        pred = wan_dit.forward(
+            base_params, dit_cfg, noisy.astype(dit_cfg.dtype), batch["timestep"],
+            batch["context"], clip_feature=batch.get("clip_feature"), y=batch.get("y"),
+            use_remat=use_remat, lora=lora, lora_scale=lora_scale,
+        )
+        weight = schedule.training_weights[tid]
+        loss = jnp.mean(
+            jnp.mean((pred.astype(jnp.float32) - target) ** 2, axis=(1, 2, 3, 4)) * weight
+        )
+        return loss, (pred.astype(jnp.float32), target, noisy)
+
+    def train_step(lora, opt_state, base_params, batch):
+        (loss, (pred, target, noisy)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            lora, base_params, batch
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, lora)
+        lora = optax.apply_updates(lora, updates)
+
+        # one-step bidirectional error extraction (ref :1151-1160):
+        #   x0_pred = step(pred, t, noisy, to_final, self_corr=True)  -> sigma'=1
+        #   noise_error = x0_pred - step(target, ...)
+        #   x1_pred = step(pred, t, noisy, to_final, self_corr=False) -> sigma'=0
+        #   y_error = x1_pred - step(target, ...)
+        tid = batch["timestep_id"]
+        sigma = schedule.sigmas[tid][:, None, None, None, None]
+        diff = pred - target
+        noise_error = diff * (1.0 - sigma)
+        y_error = diff * (0.0 - sigma)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "noise_error": noise_error,
+            "y_error": y_error,
+        }
+        return lora, opt_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0, 1))
+
+
+class ErrorRecyclingTrainer:
+    """Host-side orchestration of one training run (ref training_step :989-1199)."""
+
+    def __init__(self, base_params, dit_cfg, config: TrainerConfig | None = None, mesh=None):
+        self.cfg = config or TrainerConfig()
+        self.dit_cfg = dit_cfg
+        self.base_params = base_params
+        self.mesh = mesh
+        self.rng = random.Random(self.cfg.seed)
+
+        self.schedule = fm.make_schedule(
+            self.cfg.num_train_timesteps, shift=self.cfg.sigma_shift, sigma_min=0.0,
+            extra_one_step=True, training=True,
+        )
+        key = jax.random.PRNGKey(self.cfg.seed)
+        self.lora = lora_mod.init_lora_params(
+            key, dit_cfg, rank=self.cfg.lora_rank, targets=self.cfg.lora_targets
+        )
+        self.lora_scale = lora_mod.lora_scale(self.cfg.lora_rank, self.cfg.lora_alpha)
+        self.optimizer = make_optimizer(self.cfg)
+        self.opt_state = self.optimizer.init(self.lora)
+        self.buffers = ErrorBuffers(
+            num_grids=self.cfg.num_grids,
+            buffer_size=self.cfg.error_buffer_k,
+            replacement_strategy=self.cfg.buffer_replacement_strategy,
+            error_modulate_factor=self.cfg.error_modulate_factor,
+            shift=self.cfg.sigma_shift,
+            y_error_sample_from_all_grids=self.cfg.y_error_sample_from_all_grids,
+            y_error_sample_range=self.cfg.y_error_sample_range,
+            rng=self.rng,
+        )
+        self.iteration_count = 0
+        self._step_fn = make_train_step(
+            dit_cfg, self.schedule, self.optimizer, self.lora_scale,
+            use_remat=self.cfg.use_gradient_checkpointing,
+        )
+
+    # -- input corruption (host side, ref :1052-1135) ------------------------
+
+    def sample_timestep(self):
+        tid = self.rng.randint(0, self.cfg.num_train_timesteps - 1)
+        return tid, float(self.schedule.timesteps[tid])
+
+    def corrupt_inputs(self, latents: np.ndarray, y: Optional[np.ndarray], timestep: float):
+        """Apply error injection with the reference's probability structure.
+        Returns (noise_w_error, latents_w_error, y, used_clean_input)."""
+        c = self.cfg
+        noise = np.random.default_rng(self.rng.randint(0, 2**31 - 1)).standard_normal(
+            latents.shape
+        ).astype(np.float32)
+
+        add_noise_err = self.rng.random() < c.noise_prob
+        add_y_err = self.rng.random() < c.y_prob
+        add_latent_err = self.rng.random() < c.latent_prob
+        use_clean = self.rng.random() < c.clean_prob
+        if use_clean:
+            add_noise_err = add_y_err = add_latent_err = False
+
+        noise_w_error = noise
+        latents_w_error = latents
+        if add_noise_err and self.buffers.has_latent_data(timestep):
+            noise_w_error = noise + self.buffers.sample_noise_error(latents.shape, timestep)
+        if add_y_err and y is not None and self.buffers.has_y_data(timestep):
+            err = self.buffers.sample_y_error(latents.shape, timestep)
+            max_start = max(0, err.shape[2] - c.y_error_num)
+            start = max_start if c.use_last_y_error else self.rng.randint(0, max_start)
+            piece = err[:, :, start : start + c.y_error_num]
+            y = y.copy()
+            y[:, 4:, : c.y_error_num] = y[:, 4:, : c.y_error_num] + piece
+        if add_latent_err and self.buffers.has_latent_data(timestep):
+            latents_w_error = latents + self.buffers.sample_latent_error(latents.shape, timestep)
+        return noise_w_error.astype(np.float32), latents_w_error, y, use_clean
+
+    # -- one full step --------------------------------------------------------
+
+    def training_step(self, latents, context, y=None, clip_feature=None):
+        """latents (b,16,f,h,w) fp32; context (b,L,4096); y (b,20,f,h,w) or
+        None; clip_feature (b,257,1280) or None. Returns metrics dict."""
+        c = self.cfg
+        latents = np.asarray(latents, np.float32)
+        y_np = None if y is None else np.asarray(y, np.float32)
+        self.iteration_count += 1
+
+        tid, timestep = self.sample_timestep()
+        noise_w_error, latents_w_error, y_np, use_clean = self.corrupt_inputs(
+            latents, y_np, timestep
+        )
+
+        b = latents.shape[0]
+        batch = {
+            "latents": jnp.asarray(latents),
+            "noise_w_error": jnp.asarray(noise_w_error),
+            "latents_w_error": jnp.asarray(latents_w_error),
+            "timestep": jnp.full((b,), timestep, jnp.float32),
+            "timestep_id": jnp.full((b,), tid, jnp.int32),
+            "context": jnp.asarray(context, self.dit_cfg.dtype),
+            "clip_feature": None if clip_feature is None else jnp.asarray(clip_feature, self.dit_cfg.dtype),
+            "y": None if y_np is None else jnp.asarray(y_np, self.dit_cfg.dtype),
+        }
+        self.lora, self.opt_state, metrics = self._step_fn(
+            self.lora, self.opt_state, self.base_params, batch
+        )
+
+        if c.use_error_recycling:
+            # warmup phase banks every (gathered) batch entry; afterwards the
+            # local entries only (in-process the full batch IS the gather).
+            update = True
+            if use_clean:
+                update = self.rng.random() < c.clean_buffer_update_prob
+            if update:
+                noise_err = np.asarray(metrics["noise_error"], np.float32)
+                y_err = np.asarray(metrics["y_error"], np.float32)
+                for i in range(noise_err.shape[0]):
+                    self.buffers.add_latent_error(noise_err[i : i + 1], timestep)
+                    self.buffers.add_y_error(y_err[i : i + 1], timestep)
+
+        out = {
+            "loss": float(metrics["loss"]),
+            "grad_norm": float(metrics["grad_norm"]),
+            "timestep": timestep,
+            "grid": self.buffers.grid_index(timestep),
+            "used_clean_input": use_clean,
+            "warmup": self.iteration_count <= c.buffer_warmup_iter,
+        }
+        out.update({f"buffer_{k}": v for k, v in self.buffers.stats().items()
+                    if not isinstance(v, dict)})
+        return out
+
+    # -- checkpointing ----------------------------------------------------------
+
+    def save_lora_safetensors(self, path: str, side_modules: Optional[dict] = None):
+        """LoRA-only export in peft naming (the analog of Lightning's stripped
+        on_save_checkpoint :1294-1304 + utils/extract_lora.py)."""
+        from safetensors.numpy import save_file
+
+        sd = lora_mod.to_peft_state_dict(self.lora)
+        if side_modules:
+            sd.update({k: np.asarray(v, np.float32) for k, v in side_modules.items()})
+        save_file(sd, path)
+
+    def load_lora_safetensors(self, path: str):
+        from safetensors.numpy import load_file
+
+        sd = load_file(path)
+        self.lora = lora_mod.from_peft_state_dict(sd, self.dit_cfg)
+        self.opt_state = self.optimizer.init(self.lora)
