@@ -190,6 +190,30 @@ def init_params(key, cfg: ClipVisionConfig) -> Params:
     }
 
 
+def config_from_state_dict(sd) -> ClipVisionConfig:
+    """Infer ViT architecture from checkpoint tensor shapes (vision tower)."""
+    pref = ""
+    for cand in ("model.visual.", "visual.", ""):
+        if f"{cand}patch_embedding.weight" in sd:
+            pref = cand
+            break
+    pe = sd[f"{pref}patch_embedding.weight"].shape  # (dim, 3, ps, ps)
+    dim, ps = int(pe[0]), int(pe[2])
+    n_tokens = int(sd[f"{pref}pos_embedding"].shape[1])
+    hw = int(round((n_tokens - 1) ** 0.5))
+    num_layers = 1 + max(
+        int(k.split(".")[2]) for k in sd
+        if k.startswith(f"{pref}transformer.") and k.split(".")[2].isdigit()
+    )
+    mlp = int(sd[f"{pref}transformer.0.mlp.0.weight"].shape[0])
+    # ViT-H uses 16 heads at dim 1280 (head_dim 80); scale proportionally.
+    num_heads = max(1, dim // 80) if dim % 80 == 0 else max(1, dim // 64)
+    return ClipVisionConfig(
+        image_size=hw * ps, patch_size=ps, dim=dim, mlp_ratio=mlp // dim,
+        num_heads=num_heads, num_layers=num_layers,
+    )
+
+
 def _t(arr):
     if hasattr(arr, "detach"):
         arr = arr.detach().to("cpu")

@@ -253,13 +253,13 @@ class ModelManager:
             cfg = wan_dit.WanDiTConfig(**{**cfg.__dict__, "dtype": dtype})
             params = wan_dit.params_from_torch_state_dict(sd, cfg)
         elif kind == "wan_video_text_encoder":
-            cfg = t5.T5Config(dtype=dtype)
+            cfg = t5.config_from_state_dict(sd, dtype=dtype)
             params = t5.params_from_torch_state_dict(sd, cfg)
         elif kind == "wan_video_vae":
-            cfg = wan_vae.WAN_VAE  # fp32 on purpose (FAQ.md:27)
+            cfg = wan_vae.config_from_state_dict(sd)  # fp32 on purpose (FAQ.md:27)
             params = wan_vae.params_from_torch_state_dict(sd, cfg)
         elif kind == "wan_video_image_encoder":
-            cfg = clip_vision.VIT_H_14  # fp32 on purpose
+            cfg = clip_vision.config_from_state_dict(sd)  # fp32 on purpose
             params = clip_vision.params_from_torch_state_dict(sd, cfg)
         else:
             raise ValueError(f"load_model cannot load a '{kind}' file; use load_lora_v2")

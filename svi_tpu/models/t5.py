@@ -170,6 +170,22 @@ def init_params(key, cfg: T5Config) -> Params:
     }
 
 
+def config_from_state_dict(sd, dtype=jnp.bfloat16) -> T5Config:
+    """Infer T5 architecture from checkpoint tensor shapes."""
+    vocab, dim = sd["token_embedding.weight"].shape
+    num_layers = 1 + max(
+        int(k.split(".")[1]) for k in sd if k.startswith("blocks.") and k.split(".")[1].isdigit()
+    )
+    dim_attn = sd["blocks.0.attn.q.weight"].shape[0]
+    dim_ffn = sd["blocks.0.ffn.fc1.weight"].shape[0]
+    num_buckets, num_heads = sd["blocks.0.pos_embedding.embedding.weight"].shape
+    return T5Config(
+        vocab=int(vocab), dim=int(dim), dim_attn=int(dim_attn), dim_ffn=int(dim_ffn),
+        num_heads=int(num_heads), num_layers=int(num_layers), num_buckets=int(num_buckets),
+        dtype=dtype,
+    )
+
+
 def _t(arr):
     if hasattr(arr, "detach"):
         arr = arr.detach().to("cpu")

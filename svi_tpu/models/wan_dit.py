@@ -230,6 +230,8 @@ def _cross_attention(
     p: Params, cfg: WanDiTConfig, x: jax.Array, ctx: jax.Array, num_img_tokens: int = 257,
     lora=None, lora_scale: float = 1.0,
 ) -> jax.Array:
+    # num_img_tokens: CLIP tokens prepended to the text context (257 for
+    # ViT-H/14, wan_video_dit.py:268-269); forward threads the actual count.
     """Text (+image) cross attention (wan_video_dit.py:245-303)."""
     b, s, d = x.shape
     n, hd = cfg.num_heads, cfg.head_dim
@@ -251,7 +253,7 @@ def _cross_attention(
 
 
 def dit_block(p: Params, cfg: WanDiTConfig, x, context, t_mod, cos, sin,
-              lora=None, lora_scale: float = 1.0):
+              lora=None, lora_scale: float = 1.0, num_img_tokens: int = 257):
     """One DiT block (wan_video_dit.py:354-374), adaLN-modulated."""
     mod = (p["modulation"].astype(t_mod.dtype) + t_mod)  # (b, 6, d)
     shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
@@ -263,7 +265,7 @@ def dit_block(p: Params, cfg: WanDiTConfig, x, context, t_mod, cos, sin,
     )
     x = x + _cross_attention(
         p["cross_attn"], cfg, layer_norm(x, p["norm3"]["w"], p["norm3"]["b"], eps=cfg.eps), context,
-        lora=_l(lora, "cross_attn"), lora_scale=lora_scale,
+        num_img_tokens=num_img_tokens, lora=_l(lora, "cross_attn"), lora_scale=lora_scale,
     )
     input_x = modulate(layer_norm(x, eps=1e-6), shift_mlp, scale_mlp)
     ffn_lora = _l(lora, "ffn")
@@ -334,13 +336,14 @@ def forward_prelude(
 
 
 def forward_blocks(params, cfg: WanDiTConfig, tokens, ctx, t_mod, grid, use_remat=False,
-                   lora=None, lora_scale: float = 1.0):
+                   lora=None, lora_scale: float = 1.0, num_img_tokens: int = 257):
     """The scanned DiT block stack (wan_video_dit.py:547-563). `lora` is an
     optional stacked per-block pytree of unfused adapters (training)."""
     cos, sin = rope_angles_for_grid(grid, cfg.head_dim)
 
     def block_fn(tok, bp, lbp):
-        return dit_block(bp, cfg, tok, ctx, t_mod, cos, sin, lora=lbp, lora_scale=lora_scale)
+        return dit_block(bp, cfg, tok, ctx, t_mod, cos, sin, lora=lbp,
+                         lora_scale=lora_scale, num_img_tokens=num_img_tokens)
 
     if use_remat:
         block_fn = jax.checkpoint(block_fn)
@@ -389,9 +392,10 @@ def forward(
     tokens, ctx, t, t_mod, grid = forward_prelude(
         params, cfg, x, timestep, context, clip_feature, y, add_condition
     )
+    n_img = clip_feature.shape[1] if (cfg.has_image_input and clip_feature is not None) else 257
     tokens = forward_blocks(
         params, cfg, tokens, ctx, t_mod, grid, use_remat=use_remat,
-        lora=lora, lora_scale=lora_scale,
+        lora=lora, lora_scale=lora_scale, num_img_tokens=n_img,
     )
     return forward_head(params, cfg, tokens, t, grid)
 
@@ -524,10 +528,11 @@ def config_from_state_dict(sd) -> WanDiTConfig:
     head_out = int(sd["head.head.weight"].shape[0])
     out_dim = head_out // (patch[0] * patch[1] * patch[2])
     num_heads = dim // 128 if dim % 128 == 0 else max(1, dim // 32)
+    clip_dim = int(sd["img_emb.proj.0.weight"].shape[0]) if has_image else 1280
     return WanDiTConfig(
         dim=dim, in_dim=in_dim, ffn_dim=ffn_dim, out_dim=out_dim, text_dim=text_dim,
         freq_dim=freq_dim, patch_size=patch, num_heads=num_heads, num_layers=num_layers,
-        has_image_input=has_image, enable_multitalk=multitalk,
+        has_image_input=has_image, enable_multitalk=multitalk, clip_feature_dim=clip_dim,
     )
 
 

@@ -520,6 +520,16 @@ def tiled_decode(params, cfg, latents, tile_size=(34, 34), tile_stride=(18, 16),
 # ---------------------------------------------------------------------------
 
 
+def config_from_state_dict(sd) -> WanVAEConfig:
+    """Infer VAE width/z_dim from checkpoint shapes (structure is fixed)."""
+    d = sd
+    if any(k.startswith("model.") for k in d):
+        d = {k[len("model."):]: v for k, v in d.items() if k.startswith("model.")}
+    dim = int(d["encoder.conv1.weight"].shape[0])
+    z_dim = int(d["conv2.weight"].shape[0])
+    return WanVAEConfig(dim=dim, z_dim=z_dim)
+
+
 def _t(arr) -> np.ndarray:
     if hasattr(arr, "detach"):
         arr = arr.detach().to("cpu")

@@ -70,7 +70,8 @@ def make_optimizer(cfg: TrainerConfig):
     )
 
 
-def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=True):
+def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=True,
+                    mesh=None):
     """Returns jitted train_step(lora, opt_state, base_params, batch) ->
     (lora, opt_state, metrics dict with loss/noise_error/y_error).
 
@@ -78,7 +79,26 @@ def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=T
       latents (b,16,f,h,w), noise_w_error (same), latents_w_error (same),
       timestep (b,), timestep_id (b,) int32 into the training schedule,
       context (b,L,4096), clip_feature (b,257,1280) | None, y (b,20,f,h,w) | None.
+
+    With `mesh` (axes 'data','sp'): batch entries shard over 'data', the DiT
+    forward runs sequence-parallel over 'sp' (parallel.sequence_parallel), and
+    gradient averaging across data shards falls out of the mean loss.
     """
+
+    def _forward(base_params, noisy, timestep, context, clip_feature, y, lora):
+        if mesh is not None:
+            from ..parallel.sequence_parallel import forward_sp
+
+            return forward_sp(
+                base_params, dit_cfg, noisy, timestep, context,
+                clip_feature=clip_feature, y=y, mesh=mesh,
+                lora=lora, lora_scale=lora_scale, use_remat=use_remat,
+            )
+        return wan_dit.forward(
+            base_params, dit_cfg, noisy, timestep, context,
+            clip_feature=clip_feature, y=y,
+            use_remat=use_remat, lora=lora, lora_scale=lora_scale,
+        )
 
     def loss_fn(lora, base_params, batch):
         tid = batch["timestep_id"]
@@ -88,10 +108,9 @@ def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=T
         ].astype(jnp.float32)
         # self-corrected velocity target: noise_w_error - CLEAN latents (ref :1139)
         target = batch["noise_w_error"].astype(jnp.float32) - batch["latents"].astype(jnp.float32)
-        pred = wan_dit.forward(
-            base_params, dit_cfg, noisy.astype(dit_cfg.dtype), batch["timestep"],
-            batch["context"], clip_feature=batch.get("clip_feature"), y=batch.get("y"),
-            use_remat=use_remat, lora=lora, lora_scale=lora_scale,
+        pred = _forward(
+            base_params, noisy.astype(dit_cfg.dtype), batch["timestep"],
+            batch["context"], batch.get("clip_feature"), batch.get("y"), lora,
         )
         weight = schedule.training_weights[tid]
         loss = jnp.mean(
@@ -124,6 +143,16 @@ def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=T
         }
         return lora, opt_state, metrics
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data = NamedSharding(mesh, P("data"))  # prefix: axis 0 of every leaf
+        rep = NamedSharding(mesh, P())
+        return jax.jit(
+            train_step,
+            in_shardings=(rep, rep, rep, data),
+            donate_argnums=(0, 1),
+        )
     return jax.jit(train_step, donate_argnums=(0, 1))
 
 

@@ -16,9 +16,17 @@ import types
 REF = "/root/reference"
 
 
+def _mk_module(name):
+    import importlib.machinery
+
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return mod
+
+
 def _ensure_stubs():
     if "diffusers" not in sys.modules:
-        diffusers = types.ModuleType("diffusers")
+        diffusers = _mk_module("diffusers")
 
         class ModelMixin:
             pass
@@ -32,7 +40,7 @@ def _ensure_stubs():
             return fn
 
         diffusers.ModelMixin = ModelMixin
-        cfg_utils = types.ModuleType("diffusers.configuration_utils")
+        cfg_utils = _mk_module("diffusers.configuration_utils")
         cfg_utils.ConfigMixin = ConfigMixin
         cfg_utils.register_to_config = register_to_config
         diffusers.configuration_utils = cfg_utils
@@ -40,9 +48,9 @@ def _ensure_stubs():
         sys.modules["diffusers.configuration_utils"] = cfg_utils
 
     if "xfuser" not in sys.modules:
-        xfuser = types.ModuleType("xfuser")
-        core = types.ModuleType("xfuser.core")
-        dist = types.ModuleType("xfuser.core.distributed")
+        xfuser = _mk_module("xfuser")
+        core = _mk_module("xfuser.core")
+        dist = _mk_module("xfuser.core.distributed")
         dist.get_sequence_parallel_rank = lambda: 0
         dist.get_sequence_parallel_world_size = lambda: 1
         dist.get_sp_group = lambda: None
@@ -55,8 +63,8 @@ def _ensure_stubs():
     if "torchvision" not in sys.modules or not hasattr(
         sys.modules["torchvision"], "transforms"
     ):
-        tv = types.ModuleType("torchvision")
-        tvt = types.ModuleType("torchvision.transforms")
+        tv = _mk_module("torchvision")
+        tvt = _mk_module("torchvision.transforms")
 
         class _T:
             def __init__(self, *a, **k):
@@ -92,8 +100,8 @@ def _ensure_stubs():
         sys.modules["torchvision.transforms"] = tvt
 
     if "xformers" not in sys.modules:
-        xformers = types.ModuleType("xformers")
-        xops = types.ModuleType("xformers.ops")
+        xformers = _mk_module("xformers")
+        xops = _mk_module("xformers.ops")
 
         class _FMHA:
             class BlockDiagonalMask:
