@@ -113,6 +113,17 @@ def _block_init(key, cfg: WanDiTConfig) -> Params:
         p["cross_attn"]["k_img"] = _linear(keys[11], d, d, dt)
         p["cross_attn"]["v_img"] = _linear(keys[12], d, d, dt)
         p["cross_attn"]["norm_k_img"] = {"w": jnp.ones((d,), dt)}
+    if cfg.enable_multitalk:
+        # per-frame audio cross attention (wan_video_dit.py:338-351:
+        # SingleStreamMutiAttention with qk_norm=False, qkv_bias=True) +
+        # affine WanLayerNorm norm_x
+        ad = cfg.audio_hidden_dim
+        p["audio_cross_attn"] = {
+            "q_linear": _linear(keys[13], d, d, dt),
+            "kv_linear": _linear(keys[14], ad, d * 2, dt),
+            "proj": _linear(keys[15], d, d, dt),
+        }
+        p["norm_x"] = {"w": jnp.ones((d,), dt), "b": jnp.zeros((d,), dt)}
     return p
 
 
@@ -148,6 +159,19 @@ def init_params(key, cfg: WanDiTConfig) -> Params:
             "fc1": _linear(keys[9], cd, cd, dt),
             "fc3": _linear(keys[10], cd, d, dt),
             "norm4": {"w": jnp.ones((d,), dt), "b": jnp.zeros((d,), dt)},
+        }
+    if cfg.enable_multitalk:
+        # AudioProjModel (wan_video_dit.py:52-113): window 5 (first frame) /
+        # 8 (latter 4-frame groups) x 12 blocks x 768 ch -> 32 tokens of 768
+        ad, ct = cfg.audio_hidden_dim, cfg.audio_context_tokens
+        blocks12 = 12
+        kk = jax.random.split(keys[11], 4)
+        params["audio_proj"] = {
+            "proj1": _linear(kk[0], 5 * blocks12 * ad, 512, dt),
+            "proj1_vf": _linear(kk[1], 8 * blocks12 * ad, 512, dt),
+            "proj2": _linear(kk[2], 512, 512, dt),
+            "proj3": _linear(kk[3], 512, ct * ad, dt),
+            "norm": {"w": jnp.ones((ad,), dt), "b": jnp.zeros((ad,), dt)},
         }
     return params
 
@@ -253,8 +277,11 @@ def _cross_attention(
 
 
 def dit_block(p: Params, cfg: WanDiTConfig, x, context, t_mod, cos, sin,
-              lora=None, lora_scale: float = 1.0, num_img_tokens: int = 257):
-    """One DiT block (wan_video_dit.py:354-374), adaLN-modulated."""
+              lora=None, lora_scale: float = 1.0, num_img_tokens: int = 257,
+              audio_embed=None, num_frames: int = 0):
+    """One DiT block (wan_video_dit.py:354-374), adaLN-modulated; with
+    enable_multitalk + audio, per-frame audio cross-attn after text cross-attn
+    (ref :361-366)."""
     mod = (p["modulation"].astype(t_mod.dtype) + t_mod)  # (b, 6, d)
     shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
         mod[:, i][:, None, :] for i in range(6)
@@ -267,6 +294,9 @@ def dit_block(p: Params, cfg: WanDiTConfig, x, context, t_mod, cos, sin,
         p["cross_attn"], cfg, layer_norm(x, p["norm3"]["w"], p["norm3"]["b"], eps=cfg.eps), context,
         num_img_tokens=num_img_tokens, lora=_l(lora, "cross_attn"), lora_scale=lora_scale,
     )
+    if cfg.enable_multitalk and audio_embed is not None:
+        xa = layer_norm(x, p["norm_x"]["w"], p["norm_x"]["b"], eps=cfg.eps)
+        x = x + _audio_cross_attention(p["audio_cross_attn"], cfg, xa, audio_embed, num_frames)
     input_x = modulate(layer_norm(x, eps=1e-6), shift_mlp, scale_mlp)
     ffn_lora = _l(lora, "ffn")
     h = gelu_tanh(_dense_lora(p["ffn"]["0"], input_x, _l(ffn_lora, "0"), lora_scale))
@@ -281,6 +311,47 @@ def _img_mlp(p: Params, x: jax.Array) -> jax.Array:
     x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
     x = _dense(p["fc3"], x)
     return layer_norm(x, p["norm4"]["w"], p["norm4"]["b"], eps=1e-5)
+
+
+def audio_proj_forward(params: Params, cfg: WanDiTConfig, audio_first, audio_vf):
+    """AudioProjModel.forward (wan_video_dit.py:82-113).
+
+    audio_first: (b, 1, 5, 12, 768); audio_vf: (b, n_t-1, 8, 12, 768)
+    -> context tokens (b, n_t, 32, 768)."""
+    p = params["audio_proj"]
+    dt = cfg.dtype
+    b, f1 = audio_first.shape[:2]
+    fv = audio_vf.shape[1]
+    a = audio_first.astype(dt).reshape(b, f1, -1)
+    av = audio_vf.astype(dt).reshape(b, fv, -1)
+    a = jax.nn.relu(_dense(p["proj1"], a))
+    av = jax.nn.relu(_dense(p["proj1_vf"], av))
+    x = jnp.concatenate([a, av], axis=1)  # (b, n_t, 512)
+    x = jax.nn.relu(_dense(p["proj2"], x))
+    x = _dense(p["proj3"], x).reshape(b, f1 + fv, cfg.audio_context_tokens, cfg.audio_hidden_dim)
+    return layer_norm(x, p["norm"]["w"], p["norm"]["b"], eps=1e-5)
+
+
+def _audio_cross_attention(p: Params, cfg: WanDiTConfig, x, audio, num_frames: int):
+    """Per-frame audio cross attention (attention.py SingleStreamAttention
+    :282-372, human_num==1 path): video tokens of each latent frame attend to
+    that frame's 32 audio tokens."""
+    b, S, d = x.shape
+    f = num_frames
+    s = S // f
+    n, hd = cfg.num_heads, cfg.head_dim
+    xf = x.reshape(b * f, s, d)
+    q = _dense(p["q_linear"], xf).reshape(b * f, s, n, hd)
+    na = audio.shape[2]
+    kv = _dense(p["kv_linear"], audio.reshape(b * f, na, -1).astype(x.dtype))
+    k, v = jnp.split(kv.reshape(b * f, na, 2, n, hd), 2, axis=2)
+    k, v = k[:, :, 0], v[:, :, 0]
+    logits = jnp.einsum("bsnd,bknd->bnsk", q.astype(jnp.float32), k.astype(jnp.float32))
+    logits = logits * (hd ** -0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bnsk,bknd->bsnd", probs, v).reshape(b * f, s, d)
+    o = _dense(p["proj"], o)
+    return o.reshape(b, S, d)
 
 
 def time_inputs(params: Params, cfg: WanDiTConfig, timestep: jax.Array, dtype):
@@ -336,14 +407,16 @@ def forward_prelude(
 
 
 def forward_blocks(params, cfg: WanDiTConfig, tokens, ctx, t_mod, grid, use_remat=False,
-                   lora=None, lora_scale: float = 1.0, num_img_tokens: int = 257):
+                   lora=None, lora_scale: float = 1.0, num_img_tokens: int = 257,
+                   audio_embed=None):
     """The scanned DiT block stack (wan_video_dit.py:547-563). `lora` is an
     optional stacked per-block pytree of unfused adapters (training)."""
     cos, sin = rope_angles_for_grid(grid, cfg.head_dim)
 
     def block_fn(tok, bp, lbp):
         return dit_block(bp, cfg, tok, ctx, t_mod, cos, sin, lora=lbp,
-                         lora_scale=lora_scale, num_img_tokens=num_img_tokens)
+                         lora_scale=lora_scale, num_img_tokens=num_img_tokens,
+                         audio_embed=audio_embed, num_frames=grid[0])
 
     if use_remat:
         block_fn = jax.checkpoint(block_fn)
@@ -380,6 +453,7 @@ def forward(
     use_remat: bool = False,
     lora=None,
     lora_scale: float = 1.0,
+    audio_embed_tuple=None,
 ) -> jax.Array:
     """Full DiT forward (wan_video_dit.py:486-567 / svi_video.py:74-137).
 
@@ -387,15 +461,21 @@ def forward(
     (b, text_len, text_dim) T5 states; clip_feature: (b, 257, 1280);
     y: (b, 20, f, h, w) conditioning (mask ‖ VAE latent) for I2V;
     add_condition: (b, S, dim) pose tokens (SVI-Dance);
-    lora: optional stacked unfused adapters (training).
+    lora: optional stacked unfused adapters (training);
+    audio_embed_tuple: ((b,1,5,12,768), (b,n_t-1,8,12,768)) wav2vec windows
+    (SVI-Talk, ref model_fn_wan_talk_video svi_video_talk.py:123-124).
     """
     tokens, ctx, t, t_mod, grid = forward_prelude(
         params, cfg, x, timestep, context, clip_feature, y, add_condition
     )
     n_img = clip_feature.shape[1] if (cfg.has_image_input and clip_feature is not None) else 257
+    audio_embed = None
+    if cfg.enable_multitalk and audio_embed_tuple is not None:
+        audio_embed = audio_proj_forward(params, cfg, audio_embed_tuple[0], audio_embed_tuple[1])
     tokens = forward_blocks(
         params, cfg, tokens, ctx, t_mod, grid, use_remat=use_remat,
         lora=lora, lora_scale=lora_scale, num_img_tokens=n_img,
+        audio_embed=audio_embed,
     )
     return forward_head(params, cfg, tokens, t, grid)
 
@@ -498,7 +578,29 @@ def params_from_torch_state_dict(sd: dict, cfg: WanDiTConfig) -> Params:
             p["cross_attn"]["norm_k_img"] = {
                 "w": jnp.asarray(_t(sd[f"{b}.cross_attn.norm_k_img.weight"]), dt)
             }
+        if cfg.enable_multitalk:
+            p["audio_cross_attn"] = {
+                "q_linear": _lin_from(sd, f"{b}.audio_cross_attn.q_linear", dt),
+                "kv_linear": _lin_from(sd, f"{b}.audio_cross_attn.kv_linear", dt),
+                "proj": _lin_from(sd, f"{b}.audio_cross_attn.proj", dt),
+            }
+            p["norm_x"] = {
+                "w": jnp.asarray(_t(sd[f"{b}.norm_x.weight"]), dt),
+                "b": jnp.asarray(_t(sd[f"{b}.norm_x.bias"]), dt),
+            }
         return p
+
+    if cfg.enable_multitalk:
+        params["audio_proj"] = {
+            "proj1": _lin_from(sd, "audio_proj.proj1", dt),
+            "proj1_vf": _lin_from(sd, "audio_proj.proj1_vf", dt),
+            "proj2": _lin_from(sd, "audio_proj.proj2", dt),
+            "proj3": _lin_from(sd, "audio_proj.proj3", dt),
+            "norm": {
+                "w": jnp.asarray(_t(sd["audio_proj.norm.weight"]), dt),
+                "b": jnp.asarray(_t(sd["audio_proj.norm.bias"]), dt),
+            },
+        }
 
     blocks = [block_params(i) for i in range(cfg.num_layers)]
     params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)

@@ -1,3 +1,11 @@
 from .svi_video import SVIVideoPipeline, TeaCache, model_fn_wan_video
+from .svi_video_dance import SVIDanceVideoPipeline
+from .svi_video_talk import SVITalkVideoPipeline
 
-__all__ = ["SVIVideoPipeline", "TeaCache", "model_fn_wan_video"]
+__all__ = [
+    "SVIVideoPipeline",
+    "SVIDanceVideoPipeline",
+    "SVITalkVideoPipeline",
+    "TeaCache",
+    "model_fn_wan_video",
+]

@@ -272,15 +272,14 @@ class SVIVideoPipeline:
         params_cfg = self.dit[1]
 
         def step_fn(dit_params, latents, timestep, sigma, sigma_next,
-                    ctx2, clip_feature, y, cfg_scale, add_condition=None):
+                    ctx2, clip_feature, y, cfg_scale, add_condition2=None):
             b = latents.shape[0]
             x2 = jnp.concatenate([latents, latents], axis=0)
             clip2 = None if clip_feature is None else jnp.concatenate([clip_feature] * 2, axis=0)
             y2 = None if y is None else jnp.concatenate([y] * 2, axis=0)
-            cond2 = None if add_condition is None else jnp.concatenate([add_condition] * 2, axis=0)
             noise_pred = wan_dit.forward(
                 dit_params, params_cfg, x2, timestep, ctx2,
-                clip_feature=clip2, y=y2, add_condition=cond2,
+                clip_feature=clip2, y=y2, add_condition=add_condition2,
             )
             pred_cond, pred_uncond = noise_pred[:b], noise_pred[b:]
             pred = pred_uncond + cfg_scale * (pred_cond - pred_uncond)
@@ -314,17 +313,31 @@ class SVIVideoPipeline:
         clip_feature = image_emb.get("clip_feature")
         y = image_emb.get("y")
 
+        # add_condition per CFG branch: a (cond, uncond) pair (SVI-Dance keeps
+        # pose in the uncond branch when cond_wo_pose, svi_video_dance.py:423-430)
+        if isinstance(add_condition, tuple):
+            ac_cond, ac_uncond = add_condition
+        else:
+            ac_cond, ac_uncond = add_condition, None
+
         use_teacache = tea_cache_posi is not None and tea_cache_posi.get("tea_cache") is not None
         if not use_teacache:
             if cfg_scale != 1.0:
                 ctx2 = jnp.concatenate([ctx_pos, ctx_neg], axis=0)
+                if ac_cond is not None:
+                    ac2 = jnp.concatenate(
+                        [ac_cond, ac_uncond if ac_uncond is not None else jnp.zeros_like(ac_cond)],
+                        axis=0,
+                    )
+                else:
+                    ac2 = None
                 step = self._denoise_step_fn()
                 for i in range(n):
                     latents = step(
                         dit_params, latents, jnp.asarray([timesteps[i]]),
                         sigmas[i], sigmas[i + 1] if i + 1 < n else np.float32(0.0),
                         ctx2, clip_feature, y, np.float32(cfg_scale),
-                        add_condition,
+                        ac2,
                     )
                     if progress:
                         progress(i, n)
@@ -334,7 +347,7 @@ class SVIVideoPipeline:
                     latents = step(
                         dit_params, latents, jnp.asarray([timesteps[i]]),
                         sigmas[i], sigmas[i + 1] if i + 1 < n else np.float32(0.0),
-                        ctx_pos, clip_feature, y, add_condition,
+                        ctx_pos, clip_feature, y, ac_cond,
                     )
                     if progress:
                         progress(i, n)
@@ -367,7 +380,15 @@ class SVIVideoPipeline:
             xin = jnp.concatenate([latents] * nb, axis=0)
             clip_in = None if clip_feature is None else jnp.concatenate([clip_feature] * nb, axis=0)
             y_in = None if y is None else jnp.concatenate([y] * nb, axis=0)
-            ac_in = None if add_condition is None else jnp.concatenate([add_condition] * nb, axis=0)
+            if ac_cond is None:
+                ac_in = None
+            elif nb == 1:
+                ac_in = ac_cond
+            else:
+                ac_in = jnp.concatenate(
+                    [ac_cond, ac_uncond if ac_uncond is not None else jnp.zeros_like(ac_cond)],
+                    axis=0,
+                )
             tokens, ctx_emb, t_emb, t_mod = prelude(
                 dit_params, xin, jnp.asarray([timesteps[i]]), ctx2, clip_in, y_in, ac_in
             )
@@ -420,6 +441,7 @@ class SVIVideoPipeline:
         ref_pad_cfg=None,
         ref_pad_num=None,
         return_latents=False,
+        add_condition=None,
     ):
         """Generate one clip (ref __call__ :423-520). Returns a list of PIL
         frames; with args.sequential_cfg == 'latent', returns (frames, last
@@ -494,6 +516,7 @@ class SVIVideoPipeline:
         latents = self._sample(
             latents, ctx_pos, ctx_neg, image_emb, {"text": cfg_scale}.get("text"),
             tea_cache_posi=tea_cache_posi, tea_cache_nega=tea_cache_nega,
+            add_condition=add_condition,
         )
 
         frames_arr = np.asarray(self.decode_video(latents, **tiler_kwargs), np.float32)

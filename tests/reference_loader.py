@@ -28,7 +28,9 @@ def _ensure_stubs():
     if "diffusers" not in sys.modules:
         diffusers = _mk_module("diffusers")
 
-        class ModelMixin:
+        import torch as _torch
+
+        class ModelMixin(_torch.nn.Module):
             pass
 
         class ConfigMixin:
@@ -109,7 +111,17 @@ def _ensure_stubs():
                 def from_seqlens(*a, **k):
                     raise NotImplementedError("xformers stub")
 
+        def memory_efficient_attention(q, k, v, attn_bias=None, op=None):
+            """Functional stand-in for golden tests: same (B, M, H, K) layout."""
+            import torch as _torch
+
+            assert attn_bias is None, "stub supports bias-free attention only"
+            q, k, v = (t.transpose(1, 2) for t in (q, k, v))
+            out = _torch.nn.functional.scaled_dot_product_attention(q, k, v)
+            return out.transpose(1, 2)
+
         xops.fmha = _FMHA
+        xops.memory_efficient_attention = memory_efficient_attention
         xformers.ops = xops
         sys.modules["xformers"] = xformers
         sys.modules["xformers.ops"] = xops
