@@ -1,0 +1,216 @@
+"""SVI Error-Recycling LoRA training driver (shot/film/tom).
+
+Behavioral reference: /root/reference/train_svi.py — flag-for-flag for the
+flags scripts/train/svi_shot.sh uses. The Lightning/DeepSpeed harness becomes:
+frozen encoder pass (T5/VAE/CLIP) per step on device, one jitted train step
+(bf16 remat forward + AdamW on fp32 LoRA adapters, optionally data/sequence
+sharded over a mesh), host-side error buffers, LoRA-only safetensors
+checkpoints every N steps (the analog of on_save_checkpoint :1294-1304 +
+utils/extract_lora.py).
+"""
+
+import argparse
+import glob
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="SVI-TPU error-recycling LoRA training")
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--lora_rank", type=int, default=128)
+    p.add_argument("--lora_alpha", type=float, default=128.0)
+    p.add_argument("--lora_target_modules", type=str, default="q,k,v,o,ffn.0,ffn.2")
+    p.add_argument("--dataset_path", type=str, required=True)
+    p.add_argument("--dit_path", type=str, required=True, help="comma-separated shards or dir")
+    p.add_argument("--vae_path", type=str, required=True)
+    p.add_argument("--text_encoder_path", type=str, required=True)
+    p.add_argument("--image_encoder_path", type=str, default=None)
+    p.add_argument("--tokenizer_path", type=str, default=None)
+    p.add_argument("--max_epochs", type=int, default=10)
+    p.add_argument("--max_steps", type=int, default=-1)
+    p.add_argument("--train_architecture", type=str, default="lora")
+    p.add_argument("--use_gradient_checkpointing", action="store_true", default=True)
+    p.add_argument("--use_gradient_checkpointing_offload", action="store_true", default=False)
+    p.add_argument("--training_strategy", type=str, default="data_parallel",
+                   help="mesh layout: data_parallel | sp | dataxsp (ZeRO analog: sharded batch)")
+    p.add_argument("--output_path", type=str, default="./experiments/train/svi")
+    p.add_argument("--use_error_recycling", action="store_true", default=False)
+    p.add_argument("--error_buffer_k", type=int, default=500)
+    p.add_argument("--y_error_num", type=int, default=1)
+    p.add_argument("--num_motion_frames", type=int, default=1)
+    p.add_argument("--p_motion_threshold", type=float, default=0.5)
+    p.add_argument("--repeat_first_frame", action="store_true", default=False)
+    p.add_argument("--buffer_warmup_iter", type=int, default=50)
+    p.add_argument("--buffer_replacement_strategy", type=str, default="random")
+    p.add_argument("--y_error_sample_from_all_grids", action="store_true", default=False)
+    p.add_argument("--y_error_sample_range", type=str, default=None)
+    p.add_argument("--use_last_y_error", action="store_true", default=False)
+    p.add_argument("--num_grids", type=int, default=40)
+    p.add_argument("--timestep_grid_size", type=int, default=25)
+    p.add_argument("--error_modulate_factor", type=float, default=0.2)
+    p.add_argument("--ref_pad_num", type=int, default=-1)
+    p.add_argument("--ref_pad_cfg", action="store_true", default=False)
+    p.add_argument("--noise_prob", type=float, default=0.99)
+    p.add_argument("--y_prob", type=float, default=0.99)
+    p.add_argument("--latent_prob", type=float, default=0.99)
+    p.add_argument("--clean_prob", type=float, default=0.1)
+    p.add_argument("--clean_buffer_update_prob", type=float, default=0.5)
+    p.add_argument("--exp_prefix", type=str, default="svi")
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=832)
+    p.add_argument("--num_frames", type=int, default=81)
+    p.add_argument("--frame_interval", type=int, default=1)
+    p.add_argument("--save_every_n_steps", type=int, default=100)
+    p.add_argument("--pretrained_lora_path", type=str, default=None)
+    p.add_argument("--use_first_aug", action="store_true", default=False)
+    p.add_argument("--gradient_clip_val", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from svi_tpu.models import clip_vision, t5 as t5_mod, wan_vae
+    from svi_tpu.models.model_io import ModelManager
+    from svi_tpu.pipelines import base as pipe_base
+    from svi_tpu.prompters.wan_prompter import WanPrompter
+    from svi_tpu.training import ErrorRecyclingTrainer, TrainerConfig
+    from svi_tpu.training.dataset import TextVideoDataset
+
+    os.makedirs(args.output_path, exist_ok=True)
+    with open(os.path.join(args.output_path, "args.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)  # provenance dump (ref project_utils.py:46-109)
+
+    # ---- models ----
+    mm = ModelManager(torch_dtype=jnp.bfloat16)
+    dit_paths = args.dit_path.split(",") if "," in args.dit_path else args.dit_path
+    load_list = [dit_paths, args.vae_path, args.text_encoder_path]
+    if args.image_encoder_path:
+        load_list.append(args.image_encoder_path)
+    mm.load_models(load_list)
+    dit_params, dit_cfg = mm.fetch_model("wan_video_dit")
+    vae_params, vae_cfg = mm.fetch_model("wan_video_vae")
+    t5_params, t5_cfg = mm.fetch_model("wan_video_text_encoder")
+    clip_entry = mm.fetch_model("wan_video_image_encoder")
+
+    prompter = WanPrompter(tokenizer_path=args.tokenizer_path)
+    prompter.fetch_models((t5_params, t5_cfg))
+    if args.tokenizer_path is None:
+        cand = os.path.join(os.path.dirname(args.text_encoder_path), "google/umt5-xxl")
+        if os.path.isdir(cand):
+            prompter.fetch_tokenizer(cand)
+
+    # ---- trainer ----
+    y_range = None
+    if args.y_error_sample_range:
+        a, b = (int(v) for v in args.y_error_sample_range.split(","))
+        gs = args.timestep_grid_size
+        y_range = (a // gs, b // gs)
+    tc = TrainerConfig(
+        learning_rate=args.learning_rate,
+        gradient_clip_val=args.gradient_clip_val,
+        lora_rank=args.lora_rank,
+        lora_alpha=args.lora_alpha,
+        lora_targets=tuple(args.lora_target_modules.split(",")),
+        use_gradient_checkpointing=args.use_gradient_checkpointing,
+        use_error_recycling=args.use_error_recycling,
+        error_buffer_k=args.error_buffer_k,
+        buffer_replacement_strategy=args.buffer_replacement_strategy,
+        buffer_warmup_iter=args.buffer_warmup_iter,
+        num_grids=args.num_grids,
+        error_modulate_factor=args.error_modulate_factor,
+        noise_prob=args.noise_prob,
+        y_prob=args.y_prob,
+        latent_prob=args.latent_prob,
+        clean_prob=args.clean_prob,
+        clean_buffer_update_prob=args.clean_buffer_update_prob,
+        y_error_num=args.y_error_num,
+        use_last_y_error=args.use_last_y_error,
+        y_error_sample_from_all_grids=args.y_error_sample_from_all_grids,
+        y_error_sample_range=y_range,
+        seed=args.seed,
+    )
+    trainer = ErrorRecyclingTrainer(dit_params, dit_cfg, tc)
+    if args.pretrained_lora_path:
+        trainer.load_lora_safetensors(args.pretrained_lora_path)
+
+    # ---- frozen encoder pipeline (analog of LightningModelForDataProcess) ----
+    from svi_tpu.pipelines.svi_video import SVIVideoPipeline
+
+    enc_pipe = SVIVideoPipeline(torch_dtype=jnp.bfloat16)
+    enc_pipe.vae = (vae_params, vae_cfg)
+    enc_pipe.image_encoder = clip_entry
+
+    ds = TextVideoDataset(
+        args.dataset_path, max_num_frames=args.num_frames,
+        frame_interval=args.frame_interval, height=args.height, width=args.width,
+        seed=args.seed,
+    )
+    print(f"dataset: {len(ds)} videos")
+    rng = random.Random(args.seed)
+
+    step = 0
+    max_steps = args.max_steps if args.max_steps > 0 else args.max_epochs * len(ds)
+    t_start = time.time()
+    for epoch in range(args.max_epochs):
+        order = list(range(len(ds)))
+        rng.shuffle(order)
+        for idx in order:
+            item = ds[idx]
+            # prompt -> T5 (frozen)
+            ctx = np.asarray(prompter.encode_prompt(item["text"]), np.float32)
+            # video -> latents (fp32 VAE)
+            video = item["video"][None]  # (1, 3, T, H, W)
+            latents = np.asarray(wan_vae.encode(vae_params, vae_cfg, jnp.asarray(video)), np.float32)
+
+            # motion-frame curriculum (ref :1013-1031)
+            first_ref_frames = item["first_ref_frames"]
+            n_cond = 1
+            if args.num_motion_frames > 1:
+                if rng.random() < args.p_motion_threshold:
+                    n_cond = args.num_motion_frames
+                    cond_frames = first_ref_frames[:n_cond]
+                elif args.repeat_first_frame:
+                    n_cond = args.num_motion_frames
+                    cond_frames = [first_ref_frames[0]] * n_cond
+                else:
+                    cond_frames = first_ref_frames[:1]
+            else:
+                cond_frames = first_ref_frames[:1]
+
+            image_emb = enc_pipe.encode_images_adaptive(
+                cond_frames, item["random_ref_frame"], args.num_frames,
+                args.height, args.width, use_first_aug=args.use_first_aug,
+                ref_pad_cfg=args.ref_pad_cfg, ref_pad_num=args.ref_pad_num,
+            )
+            y = np.asarray(image_emb["y"], np.float32)
+            clip_feat = np.asarray(image_emb["clip_feature"], np.float32)
+
+            metrics = trainer.training_step(latents, ctx, y=y, clip_feature=clip_feat)
+            step += 1
+            if step % 10 == 0 or step == 1:
+                el = time.time() - t_start
+                print(f"step {step}/{max_steps} epoch {epoch} loss {metrics['loss']:.4f} "
+                      f"grad {metrics['grad_norm']:.3f} buffers L{metrics.get('buffer_latent_total', 0)}/"
+                      f"Y{metrics.get('buffer_y_total', 0)} {el/step:.1f}s/step")
+            if step % args.save_every_n_steps == 0 or step >= max_steps:
+                ckpt = os.path.join(args.output_path, f"epoch={epoch}-step={step}.safetensors")
+                trainer.save_lora_safetensors(ckpt)
+                print(f"saved {ckpt}")
+            if step >= max_steps:
+                return
+
+
+if __name__ == "__main__":
+    main()

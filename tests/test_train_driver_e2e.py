@@ -1,0 +1,65 @@
+"""End-to-end training driver test: tiny checkpoints + toy reference videos ->
+scripts/train_svi.py -> LoRA safetensors checkpoint that the inference loader
+can fuse."""
+
+import os
+import sys
+
+import pytest
+
+from test_driver_e2e import synth_tokenizer, synth_weights
+
+
+def test_train_driver_end_to_end(tmp_path, monkeypatch):
+    toy = "/root/reference/data/toy_train/svi-film-shot"
+    if not os.path.isdir(toy):
+        pytest.skip("reference toy_train not present")
+
+    root = str(tmp_path / "weights")
+    os.makedirs(root)
+    synth_weights(root)
+    synth_tokenizer(root)
+    out = str(tmp_path / "exp")
+
+    argv = [
+        "train_svi.py",
+        "--dataset_path", toy,
+        "--dit_path", os.path.join(root, "diffusion_pytorch_model.safetensors"),
+        "--vae_path", os.path.join(root, "Wan2.1_VAE.pth"),
+        "--text_encoder_path", os.path.join(root, "models_t5_umt5-xxl-enc-bf16.pth"),
+        "--image_encoder_path",
+        os.path.join(root, "models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth"),
+        "--output_path", out,
+        "--lora_rank", "4", "--lora_alpha", "4",
+        "--use_error_recycling",
+        "--buffer_warmup_iter", "1",
+        "--num_grids", "10",
+        "--error_buffer_k", "4",
+        "--max_steps", "3",
+        "--save_every_n_steps", "3",
+        "--height", "48", "--width", "48", "--num_frames", "5",
+        "--num_motion_frames", "1",
+        "--ref_pad_num", "-1",
+        "--noise_prob", "1.0", "--y_prob", "1.0", "--latent_prob", "1.0",
+        "--clean_prob", "0.0",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import importlib
+
+    driver = importlib.import_module("train_svi")
+    driver.main()
+
+    ckpts = [f for f in os.listdir(out) if f.endswith(".safetensors")]
+    assert len(ckpts) == 1
+    assert os.path.exists(os.path.join(out, "args.json"))
+
+    # the produced checkpoint fuses into the tiny DiT via the inference loader
+    import jax.numpy as jnp
+
+    from svi_tpu.models import model_io
+
+    mm = model_io.ModelManager(torch_dtype=jnp.float32)
+    mm.load_models([os.path.join(root, "diffusion_pytorch_model.safetensors")])
+    mm.load_lora_v2(os.path.join(out, ckpts[0]), lora_alpha=1.0)
+    assert mm.lora_log[0][1] > 0
