@@ -44,8 +44,13 @@ def generate_noise(shape, seed=None, dtype=np.float32) -> np.ndarray:
 
 def tensor_to_frames(video: np.ndarray):
     """(3, T, H, W) in [-1,1] -> list of PIL images (ref svi_video.py:366-370)."""
-    from PIL import Image
-
     frames = np.transpose(video, (1, 2, 3, 0))
     frames = ((frames + 1) * 127.5).clip(0, 255).astype(np.uint8)
-    return [Image.fromarray(f) for f in frames]
+    return frames_from_uint8(np.transpose(frames, (3, 0, 1, 2)))
+
+
+def frames_from_uint8(video_u8: np.ndarray):
+    """(3, T, H, W) uint8 -> list of PIL images."""
+    from PIL import Image
+
+    return [Image.fromarray(f) for f in np.transpose(video_u8, (1, 2, 3, 0))]

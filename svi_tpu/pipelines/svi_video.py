@@ -212,28 +212,36 @@ class SVIVideoPipeline:
         msk = msk.reshape(1, msk.shape[1] // 4, 4, lh, lw)
         msk = np.transpose(msk, (0, 2, 1, 3, 4))[0]  # (4, T_lat, lh, lw)
 
-        # VAE input: condition frames ‖ padding (ref :329-349)
+        # VAE input: condition frames ‖ padding (ref :329-349). The padded
+        # 81-frame fp32 video is ~390MB — building it ON DEVICE from the few
+        # real frames avoids a multi-second host->device transfer.
         cond = np.concatenate([prep(f) for f in first_frames], axis=0)  # (n,3,H,W)
         cond = np.transpose(cond, (1, 0, 2, 3))  # (3, n, H, W)
-        if ref_pad_num == 0:
-            pad = np.zeros((3, remaining, height, width), np.float32)
-        elif ref_pad_num is not None and ref_pad_num > 0:
-            pieces = [np.transpose(ref_frame, (1, 0, 2, 3))] * min(ref_pad_num, remaining)
-            if remaining > ref_pad_num:
-                pieces += [np.zeros((3, remaining - ref_pad_num, height, width), np.float32)]
-            pad = np.concatenate(pieces, axis=1)
-        elif ref_pad_num == -1:
-            pad = np.repeat(np.transpose(ref_frame, (1, 0, 2, 3)), remaining, axis=1)
-        else:
-            raise ValueError(f"ref_pad_num must be set (got {ref_pad_num})")
-        vae_input = np.concatenate([cond, pad], axis=1)[None]  # (1,3,T,H,W)
-
         vae_params, vae_cfg = self.vae
-        y_lat = self._jit(
-            "vae_encode_cond",
-            lambda p, v: wan_vae.encode(p, vae_cfg, v),
-        )(vae_params, jnp.asarray(vae_input, jnp.float32))
-        y = jnp.concatenate([jnp.asarray(msk)[None], y_lat], axis=1)  # (1,20,T,lh,lw)
+
+        def build_and_encode(p, cond_d, ref_d, msk_d):
+            ref_t = jnp.transpose(ref_d, (1, 0, 2, 3))  # (3,1,H,W)
+            if ref_pad_num == 0:
+                pad = jnp.zeros((3, remaining, height, width), jnp.float32)
+            elif ref_pad_num is not None and ref_pad_num > 0:
+                k = min(ref_pad_num, remaining)
+                pieces = [jnp.repeat(ref_t, k, axis=1)]
+                if remaining > ref_pad_num:
+                    pieces.append(jnp.zeros((3, remaining - ref_pad_num, height, width), jnp.float32))
+                pad = jnp.concatenate(pieces, axis=1)
+            elif ref_pad_num == -1:
+                pad = jnp.repeat(ref_t, remaining, axis=1)
+            else:
+                raise ValueError(f"ref_pad_num must be set (got {ref_pad_num})")
+            vae_input = jnp.concatenate([cond_d, pad], axis=1)[None]
+            y_lat = wan_vae.encode(p, vae_cfg, vae_input)
+            return jnp.concatenate([msk_d[None], y_lat.astype(jnp.float32)], axis=1)
+
+        y = self._jit(
+            ("vae_encode_cond", num_condition_frames, int(ref_pad_num), num_frames, height, width),
+            build_and_encode,
+        )(vae_params, jnp.asarray(cond, jnp.float32), jnp.asarray(ref_frame, jnp.float32),
+          jnp.asarray(msk))
         return {
             "clip_feature": clip_context.astype(self.dtype),
             "y": y.astype(self.dtype),
@@ -519,8 +527,19 @@ class SVIVideoPipeline:
             add_condition=add_condition,
         )
 
-        frames_arr = np.asarray(self.decode_video(latents, **tiler_kwargs), np.float32)
-        frames = base.tensor_to_frames(frames_arr[0])
+        # decode + uint8 conversion on device (4x smaller device->host transfer)
+        if tiled:
+            frames_dev = self.decode_video(latents, **tiler_kwargs)
+            frames_u8 = jnp.clip((frames_dev.astype(jnp.float32) + 1) * 127.5, 0, 255).astype(jnp.uint8)
+        else:
+            vae_params, vae_cfg = self.vae
+
+            def dec_u8(p, z):
+                v = wan_vae.decode(p, vae_cfg, jnp.asarray(z, jnp.float32))
+                return jnp.clip((v + 1) * 127.5, 0, 255).astype(jnp.uint8)
+
+            frames_u8 = self._jit("vae_decode_u8", dec_u8)(vae_params, latents)
+        frames = base.frames_from_uint8(np.asarray(frames_u8[0]))
         if return_latents:
             return frames, latents
         if args is not None and getattr(args, "sequential_cfg", None) == "latent":
