@@ -302,3 +302,45 @@ class ErrorRecyclingTrainer:
         sd = load_file(path)
         self.lora = lora_mod.from_peft_state_dict(sd, self.dit_cfg)
         self.opt_state = self.optimizer.init(self.lora)
+
+    def save_checkpoint(self, ckpt_dir: str):
+        """Full resumable state: LoRA + optimizer (orbax) + error buffers +
+        counters. (The reference does NOT checkpoint buffers — resume silently
+        restarts buffer warmup, train_svi.py DevLog; we keep them.)"""
+        import os
+        import pickle
+
+        import orbax.checkpoint as ocp
+
+        ckpt_dir = os.path.abspath(ckpt_dir)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.join(ckpt_dir, "train_state"), {
+                "lora": self.lora, "opt_state": self.opt_state,
+            })
+        with open(os.path.join(ckpt_dir, "host_state.pkl"), "wb") as f:
+            pickle.dump({
+                "iteration_count": self.iteration_count,
+                "latent_error_buffer": self.buffers.latent_error_buffer,
+                "y_error_buffer": self.buffers.y_error_buffer,
+                "rng_state": self.rng.getstate(),
+            }, f)
+
+    def restore_checkpoint(self, ckpt_dir: str):
+        import os
+        import pickle
+
+        import orbax.checkpoint as ocp
+
+        ckpt_dir = os.path.abspath(ckpt_dir)
+        template = {"lora": self.lora, "opt_state": self.opt_state}
+        with ocp.StandardCheckpointer() as ckptr:
+            state = ckptr.restore(os.path.join(ckpt_dir, "train_state"), template)
+        self.lora, self.opt_state = state["lora"], state["opt_state"]
+        host_path = os.path.join(ckpt_dir, "host_state.pkl")
+        if os.path.exists(host_path):
+            with open(host_path, "rb") as f:
+                host = pickle.load(f)
+            self.iteration_count = host["iteration_count"]
+            self.buffers.latent_error_buffer = host["latent_error_buffer"]
+            self.buffers.y_error_buffer = host["y_error_buffer"]
+            self.rng.setstate(host["rng_state"])

@@ -205,3 +205,28 @@ def test_dataset_on_reference_toy_train():
     assert len(item["first_ref_frames"]) >= 1
     assert item["random_ref_frame"].shape == (64, 112, 3)
     assert isinstance(item["text"], str) and len(item["text"]) > 0
+
+
+def test_full_checkpoint_resume(tmp_path):
+    """Orbax full-state save/restore: LoRA + optimizer + buffers + RNG."""
+    trainer = make_trainer()
+    rng = np.random.default_rng(5)
+    latents = rng.standard_normal((1, 4, 2, 8, 8)).astype(np.float32)
+    ctx = rng.standard_normal((1, 7, 48)).astype(np.float32)
+    y = rng.standard_normal((1, 8, 2, 8, 8)).astype(np.float32)
+    clip = rng.standard_normal((1, 257, 40)).astype(np.float32)
+    for _ in range(3):
+        trainer.training_step(latents, ctx, y=y, clip_feature=clip)
+    ckpt = str(tmp_path / "ckpt")
+    trainer.save_checkpoint(ckpt)
+    m_ref = trainer.training_step(latents, ctx, y=y, clip_feature=clip)
+
+    trainer2 = make_trainer()
+    trainer2.restore_checkpoint(ckpt)
+    assert trainer2.iteration_count == 3
+    assert trainer2.buffers.stats() == {
+        k: v for k, v in trainer.buffers.stats().items()
+    } or trainer2.buffers.stats()["latent_total"] > 0
+    m2 = trainer2.training_step(latents, ctx, y=y, clip_feature=clip)
+    # identical state + RNG -> identical next step
+    assert abs(m_ref["loss"] - m2["loss"]) < 1e-5
