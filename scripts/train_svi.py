@@ -22,8 +22,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def parse_args():
-    p = argparse.ArgumentParser(description="SVI-TPU error-recycling LoRA training")
+def build_parser(description="SVI-TPU error-recycling LoRA training"):
+    p = argparse.ArgumentParser(description=description)
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--lora_rank", type=int, default=128)
     p.add_argument("--lora_alpha", type=float, default=128.0)
@@ -73,51 +73,22 @@ def parse_args():
     p.add_argument("--use_first_aug", action="store_true", default=False)
     p.add_argument("--gradient_clip_val", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
-    return p.parse_args()
+    return p
 
 
-def main():
-    args = parse_args()
-    import jax
-    import jax.numpy as jnp
+def parse_args():
+    return build_parser().parse_args()
 
-    from svi_tpu.models import clip_vision, t5 as t5_mod, wan_vae
-    from svi_tpu.models.model_io import ModelManager
-    from svi_tpu.pipelines import base as pipe_base
-    from svi_tpu.prompters.wan_prompter import WanPrompter
-    from svi_tpu.training import ErrorRecyclingTrainer, TrainerConfig
-    from svi_tpu.training.dataset import TextVideoDataset
 
-    os.makedirs(args.output_path, exist_ok=True)
-    with open(os.path.join(args.output_path, "args.json"), "w") as f:
-        json.dump(vars(args), f, indent=2)  # provenance dump (ref project_utils.py:46-109)
+def trainer_config_from_args(args):
+    from svi_tpu.training import TrainerConfig
 
-    # ---- models ----
-    mm = ModelManager(torch_dtype=jnp.bfloat16)
-    dit_paths = args.dit_path.split(",") if "," in args.dit_path else args.dit_path
-    load_list = [dit_paths, args.vae_path, args.text_encoder_path]
-    if args.image_encoder_path:
-        load_list.append(args.image_encoder_path)
-    mm.load_models(load_list)
-    dit_params, dit_cfg = mm.fetch_model("wan_video_dit")
-    vae_params, vae_cfg = mm.fetch_model("wan_video_vae")
-    t5_params, t5_cfg = mm.fetch_model("wan_video_text_encoder")
-    clip_entry = mm.fetch_model("wan_video_image_encoder")
-
-    prompter = WanPrompter(tokenizer_path=args.tokenizer_path)
-    prompter.fetch_models((t5_params, t5_cfg))
-    if args.tokenizer_path is None:
-        cand = os.path.join(os.path.dirname(args.text_encoder_path), "google/umt5-xxl")
-        if os.path.isdir(cand):
-            prompter.fetch_tokenizer(cand)
-
-    # ---- trainer ----
     y_range = None
     if args.y_error_sample_range:
         a, b = (int(v) for v in args.y_error_sample_range.split(","))
         gs = args.timestep_grid_size
         y_range = (a // gs, b // gs)
-    tc = TrainerConfig(
+    return TrainerConfig(
         learning_rate=args.learning_rate,
         gradient_clip_val=args.gradient_clip_val,
         lora_rank=args.lora_rank,
@@ -141,6 +112,52 @@ def main():
         y_error_sample_range=y_range,
         seed=args.seed,
     )
+
+
+def load_models_and_prompter(args):
+    import jax.numpy as jnp
+
+    from svi_tpu.models.model_io import ModelManager
+    from svi_tpu.prompters.wan_prompter import WanPrompter
+
+    mm = ModelManager(torch_dtype=jnp.bfloat16)
+    dit_paths = args.dit_path.split(",") if "," in args.dit_path else args.dit_path
+    load_list = [dit_paths, args.vae_path, args.text_encoder_path]
+    if args.image_encoder_path:
+        load_list.append(args.image_encoder_path)
+    mm.load_models(load_list)
+    t5_entry = mm.fetch_model("wan_video_text_encoder")
+    prompter = WanPrompter(tokenizer_path=args.tokenizer_path)
+    prompter.fetch_models(t5_entry)
+    if args.tokenizer_path is None:
+        cand = os.path.join(os.path.dirname(args.text_encoder_path), "google/umt5-xxl")
+        if os.path.isdir(cand):
+            prompter.fetch_tokenizer(cand)
+    return mm, prompter
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from svi_tpu.models import clip_vision, t5 as t5_mod, wan_vae
+    from svi_tpu.models.model_io import ModelManager
+    from svi_tpu.pipelines import base as pipe_base
+    from svi_tpu.prompters.wan_prompter import WanPrompter
+    from svi_tpu.training import ErrorRecyclingTrainer, TrainerConfig
+    from svi_tpu.training.dataset import TextVideoDataset
+
+    os.makedirs(args.output_path, exist_ok=True)
+    with open(os.path.join(args.output_path, "args.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)  # provenance dump (ref project_utils.py:46-109)
+
+    mm, prompter = load_models_and_prompter(args)
+    dit_params, dit_cfg = mm.fetch_model("wan_video_dit")
+    vae_params, vae_cfg = mm.fetch_model("wan_video_vae")
+    clip_entry = mm.fetch_model("wan_video_image_encoder")
+
+    tc = trainer_config_from_args(args)
     trainer = ErrorRecyclingTrainer(dit_params, dit_cfg, tc)
     if args.pretrained_lora_path:
         trainer.load_lora_safetensors(args.pretrained_lora_path)

@@ -1,0 +1,113 @@
+"""SVI-Dance training driver (behavioral ref: /root/reference/train_svi_dance.py).
+
+train_svi + a TRAINABLE dwpose_embedding conv stack jointly optimized with the
+LoRA adapters, pose dropout (p<0.05 / p<0.1 on the EMBEDDED condition,
+ref :1045-1048), clip_feature/y dropout (p<0.1, ref :1055-1062), paired
+video+pose dataset. Checkpoints keep `lora_*` + `dwpose_embedding.*` keys
+(extract_lora.py semantics) and load directly in the dance inference pipeline.
+"""
+
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from train_svi import build_parser, load_models_and_prompter, trainer_config_from_args
+
+
+def parse_args():
+    p = build_parser("SVI-TPU dance error-recycling training")
+    p.add_argument("--pose_drop_prob1", type=float, default=0.05)
+    p.add_argument("--pose_drop_prob2", type=float, default=0.1)
+    p.add_argument("--cond_drop_prob", type=float, default=0.1)
+    p.add_argument("--pretrained_pose_path", type=str, default=None,
+                   help="warm-start dwpose_embedding (e.g. UniAnimate LoRA file)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax.numpy as jnp
+
+    from svi_tpu.models import pose_embedding, wan_vae
+    from svi_tpu.models.model_io import extract_side_modules, load_state_dict
+    from svi_tpu.pipelines.svi_video import SVIVideoPipeline
+    from svi_tpu.training import ErrorRecyclingTrainer
+    from svi_tpu.training.dataset import DanceVideoDataset
+
+    os.makedirs(args.output_path, exist_ok=True)
+    with open(os.path.join(args.output_path, "args.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+
+    mm, prompter = load_models_and_prompter(args)
+    dit_params, dit_cfg = mm.fetch_model("wan_video_dit")
+    vae_params, vae_cfg = mm.fetch_model("wan_video_vae")
+    clip_entry = mm.fetch_model("wan_video_image_encoder")
+
+    tc = trainer_config_from_args(args)
+    tc.train_pose = True
+    tc.pose_drop_prob1 = args.pose_drop_prob1
+    tc.pose_drop_prob2 = args.pose_drop_prob2
+    tc.cond_drop_prob = args.cond_drop_prob
+    trainer = ErrorRecyclingTrainer(dit_params, dit_cfg, tc)
+    if args.pretrained_lora_path:
+        trainer.load_lora_safetensors(args.pretrained_lora_path)
+    if args.pretrained_pose_path:
+        side = extract_side_modules(load_state_dict(args.pretrained_pose_path))
+        if side:
+            trainer.trainable["pose"] = pose_embedding.params_from_torch_state_dict(side)
+            trainer.opt_state = trainer.optimizer.init(trainer.trainable)
+
+    enc_pipe = SVIVideoPipeline(torch_dtype=jnp.bfloat16)
+    enc_pipe.vae = (vae_params, vae_cfg)
+    enc_pipe.image_encoder = clip_entry
+
+    ds = DanceVideoDataset(
+        args.dataset_path, max_num_frames=args.num_frames,
+        frame_interval=args.frame_interval, height=args.height, width=args.width,
+        seed=args.seed,
+    )
+    print(f"dance dataset: {len(ds)} samples")
+    rng = random.Random(args.seed)
+    step = 0
+    max_steps = args.max_steps if args.max_steps > 0 else args.max_epochs * max(len(ds), 1)
+    t_start = time.time()
+    for epoch in range(args.max_epochs):
+        order = list(range(len(ds)))
+        rng.shuffle(order)
+        for idx in order:
+            item = ds[idx]
+            ctx = np.asarray(prompter.encode_prompt(item["text"]), np.float32)
+            latents = np.asarray(
+                wan_vae.encode(vae_params, vae_cfg, jnp.asarray(item["video"][None])), np.float32
+            )
+            image_emb = enc_pipe.encode_images_adaptive(
+                item["first_ref_frames"][:1], item["random_ref_frame"], args.num_frames,
+                args.height, args.width, ref_pad_num=args.ref_pad_num,
+            )
+            metrics = trainer.training_step(
+                latents, ctx,
+                y=np.asarray(image_emb["y"], np.float32),
+                clip_feature=np.asarray(image_emb["clip_feature"], np.float32),
+                pose=item["dwpose_data"][None],
+            )
+            step += 1
+            if step % 10 == 0 or step == 1:
+                print(f"step {step}/{max_steps} loss {metrics['loss']:.4f} "
+                      f"{(time.time() - t_start) / step:.1f}s/step")
+            if step % args.save_every_n_steps == 0 or step >= max_steps:
+                trainer.save_lora_safetensors(
+                    os.path.join(args.output_path, f"epoch={epoch}-step={step}.safetensors")
+                )
+            if step >= max_steps:
+                return
+
+
+if __name__ == "__main__":
+    main()

@@ -134,3 +134,188 @@ class TextVideoDataset:
             "first_ref_frames": first_ref_frames,
             "random_ref_frame": random_ref_frame,
         }
+
+
+class DanceVideoDataset(TextVideoDataset):
+    """SVI-Dance training data (ref train_svi_dance.py:505-660): per-sample
+    dirs with paired video.mp4 + dwpose.mp4, or legacy frame_data.pkl +
+    dw_pose_with_foot_wo_face.pkl (dicts of JPEG bytes). Emits the aligned
+    pose window as raw (3, T, H, W) in [0, 255]."""
+
+    def __init__(self, base_path, **kw):
+        super().__init__(base_path, **kw)
+        # sample dirs: contain video.mp4 or frame_data.pkl
+        self.video_list = []
+        for root, dirs, files in os.walk(base_path):
+            if "video.mp4" in files or "frame_data.pkl" in files:
+                self.video_list.append({"path": root, "description": "the person is dancing",
+                                        "category": "dance"})
+        self.video_list.sort(key=lambda d: d["path"])
+        self.rng.shuffle(self.video_list)
+
+    def _load_pair(self, path_dir):
+        import io
+        import pickle
+
+        from PIL import Image as PILImage
+
+        video_path = os.path.join(path_dir, "video.mp4")
+        if os.path.exists(video_path):
+            from ..utils.video import load_video_frames
+
+            frames = load_video_frames(video_path)
+            poses = load_video_frames(os.path.join(path_dir, "dwpose.mp4"))
+        else:
+            frames_all = pickle.load(open(os.path.join(path_dir, "frame_data.pkl"), "rb"))
+            dw = pickle.load(
+                open(os.path.join(path_dir, "dw_pose_with_foot_wo_face.pkl"), "rb")
+            )
+            keys = list(frames_all.keys())
+            frames = [np.asarray(PILImage.open(io.BytesIO(frames_all[k])).convert("RGB"))
+                      for k in keys]
+            poses = [np.asarray(PILImage.open(io.BytesIO(dw[k])).convert("RGB"))
+                     for k in keys if k in dw]
+        n = min(len(frames), len(poses))
+        return frames[:n], poses[:n]
+
+    def __getitem__(self, index, _retries=4):
+        from PIL import Image
+
+        item = self.video_list[index % len(self.video_list)]
+        try:
+            frames, poses = self._load_pair(item["path"])
+        except (OSError, IOError, ValueError, KeyError):
+            if _retries <= 0:
+                raise
+            return self.__getitem__(self.rng.randint(0, len(self.video_list) - 1),
+                                    _retries=_retries - 1)
+        total = len(frames)
+        stride = self.rng.randint(1, self.sample_fps)
+        cover = stride * self.max_frames
+        if total < cover + 1:
+            start = 0
+            stride = max(total // self.max_frames, 1)
+            end = min(stride * self.max_frames, total - 1)
+        else:
+            max_start = max(0, total - cover - 5)
+            start = self.rng.randint(0, max_start) if max_start > 0 else 0
+            end = start + cover
+        idxs = list(range(start, min(max(end, start + 1), total), stride))
+        while len(idxs) < self.max_frames:
+            idxs.append(idxs[-1] if idxs else 0)
+        idxs = idxs[: self.max_frames]
+
+        h, w = frames[0].shape[:2]
+        x1, y1, x2, y2 = self._random_crop_box(w, h)
+
+        def to_target(arr):
+            img = Image.fromarray(arr).crop((x1, y1, x2, y2)).resize(
+                (self.width, self.height), Image.BILINEAR
+            )
+            return np.asarray(img)
+
+        proc = np.stack([to_target(frames[i][..., :3]) for i in idxs])
+        pose_proc = np.stack([to_target(poses[i][..., :3]) for i in idxs])
+        video = np.transpose(proc.astype(np.float32) * (2 / 255) - 1, (3, 0, 1, 2))
+        dwpose = np.transpose(pose_proc.astype(np.float32), (3, 0, 1, 2))  # raw 0..255
+        num_ref = min(12, len(idxs))
+        return {
+            "text": item["description"],
+            "video": video,
+            "dwpose_data": dwpose,
+            "path": item["path"],
+            "first_ref_frames": [proc[i] for i in range(num_ref)],
+            "random_ref_frame": proc[self.rng.randint(0, len(idxs) - 1)],
+        }
+
+
+class TalkVideoDataset(TextVideoDataset):
+    """SVI-Talk training data (ref train_svi_talk.py:462-540): per-sample dirs
+    with frame_data.pkl (JPEG bytes) or video.mp4 + audio_embedding.pkl
+    ((12, s, 768) wav2vec hidden states). Emits the cut/grouped audio tuple
+    aligned to the sampled frame window."""
+
+    def __init__(self, base_path, **kw):
+        super().__init__(base_path, **kw)
+        self.video_list = []
+        for root, dirs, files in os.walk(base_path):
+            if "audio_embedding.pkl" in files and (
+                "frame_data.pkl" in files or "video.mp4" in files
+            ):
+                self.video_list.append({"path": root, "description": "the person is talking",
+                                        "category": "talk"})
+        self.video_list.sort(key=lambda d: d["path"])
+        self.rng.shuffle(self.video_list)
+
+    def __getitem__(self, index, _retries=4):
+        import io
+        import pickle
+
+        from PIL import Image
+
+        from ..utils.audio import cut_audio_embedding
+
+        item = self.video_list[index % len(self.video_list)]
+        path_dir = item["path"]
+        try:
+            fd_path = os.path.join(path_dir, "frame_data.pkl")
+            if os.path.exists(fd_path):
+                frames_all = pickle.load(open(fd_path, "rb"))
+                keys = list(frames_all.keys())
+                frames = [
+                    np.asarray(Image.open(io.BytesIO(frames_all[k])).convert("RGB"))
+                    for k in keys
+                ]
+            else:
+                from ..utils.video import load_video_frames
+
+                frames = load_video_frames(os.path.join(path_dir, "video.mp4"))
+            audio_embed = pickle.load(open(os.path.join(path_dir, "audio_embedding.pkl"), "rb"))
+            if hasattr(audio_embed, "detach"):
+                audio_embed = audio_embed.detach().float().numpy()
+        except (OSError, IOError, ValueError, KeyError):
+            if _retries <= 0:
+                raise
+            return self.__getitem__(self.rng.randint(0, len(self.video_list) - 1),
+                                    _retries=_retries - 1)
+
+        total = len(frames)
+        stride = self.rng.randint(1, self.sample_fps)
+        cover = stride * self.max_frames
+        if total < cover + 1:
+            start = 0
+            stride = max(total // self.max_frames, 1)
+            end = min(stride * self.max_frames, total - 1)
+        else:
+            max_start = max(0, total - cover - 5)
+            start = self.rng.randint(0, max_start) if max_start > 0 else 0
+            end = start + cover
+        audio_first, audio_vf = cut_audio_embedding(
+            audio_embed, self.max_frames, audio_start_idx=start, audio_end_idx=end
+        )
+        idxs = list(range(start, min(max(end, start + 1), total), stride))
+        while len(idxs) < self.max_frames:
+            idxs.append(idxs[-1] if idxs else 0)
+        idxs = idxs[: self.max_frames]
+
+        h, w = frames[0].shape[:2]
+        x1, y1, x2, y2 = self._random_crop_box(w, h)
+
+        def to_target(arr):
+            img = Image.fromarray(arr).crop((x1, y1, x2, y2)).resize(
+                (self.width, self.height), Image.BILINEAR
+            )
+            return np.asarray(img)
+
+        proc = np.stack([to_target(frames[i][..., :3]) for i in idxs])
+        video = np.transpose(proc.astype(np.float32) * (2 / 255) - 1, (3, 0, 1, 2))
+        num_ref = min(12, len(idxs))
+        return {
+            "text": item["description"],
+            "video": video,
+            "audio_first": audio_first[None],  # (1, 1, 5, 12, 768)
+            "audio_vf": audio_vf[None],        # (1, n_t-1, 8, 12, 768)
+            "path": path_dir,
+            "first_ref_frames": [proc[i] for i in range(num_ref)],
+            "random_ref_frame": proc[self.rng.randint(0, len(idxs) - 1)],
+        }

@@ -61,6 +61,12 @@ class TrainerConfig:
     num_train_timesteps: int = 1000
     sigma_shift: float = 5.0
     seed: int = 0
+    # variants
+    train_pose: bool = False          # SVI-Dance: trainable dwpose_embedding
+    pose_drop_prob1: float = 0.05     # train_svi_dance.py:1045-1048
+    pose_drop_prob2: float = 0.1
+    cond_drop_prob: float = 0.1       # clip_feature/y dropout (dance :1055-1062)
+    audio_drop_prob: float = 0.1      # train_svi_talk.py:969-973
 
 
 def make_optimizer(cfg: TrainerConfig):
@@ -71,7 +77,7 @@ def make_optimizer(cfg: TrainerConfig):
 
 
 def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=True,
-                    mesh=None):
+                    mesh=None, train_pose: bool = False):
     """Returns jitted train_step(lora, opt_state, base_params, batch) ->
     (lora, opt_state, metrics dict with loss/noise_error/y_error).
 
@@ -85,22 +91,25 @@ def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=T
     gradient averaging across data shards falls out of the mean loss.
     """
 
-    def _forward(base_params, noisy, timestep, context, clip_feature, y, lora):
+    def _forward(base_params, noisy, timestep, context, clip_feature, y, lora,
+                 add_condition=None, audio_embed_tuple=None):
         if mesh is not None:
             from ..parallel.sequence_parallel import forward_sp
 
             return forward_sp(
                 base_params, dit_cfg, noisy, timestep, context,
-                clip_feature=clip_feature, y=y, mesh=mesh,
-                lora=lora, lora_scale=lora_scale, use_remat=use_remat,
+                clip_feature=clip_feature, y=y, add_condition=add_condition,
+                mesh=mesh, lora=lora, lora_scale=lora_scale, use_remat=use_remat,
             )
         return wan_dit.forward(
             base_params, dit_cfg, noisy, timestep, context,
-            clip_feature=clip_feature, y=y,
+            clip_feature=clip_feature, y=y, add_condition=add_condition,
             use_remat=use_remat, lora=lora, lora_scale=lora_scale,
+            audio_embed_tuple=audio_embed_tuple,
         )
 
-    def loss_fn(lora, base_params, batch):
+    def loss_fn(trainable, base_params, batch):
+        lora = trainable["lora"]
         tid = batch["timestep_id"]
         sigma = schedule.sigmas[tid][:, None, None, None, None]
         noisy = (1 - sigma) * batch["latents_w_error"].astype(jnp.float32) + sigma * batch[
@@ -108,9 +117,22 @@ def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=T
         ].astype(jnp.float32)
         # self-corrected velocity target: noise_w_error - CLEAN latents (ref :1139)
         target = batch["noise_w_error"].astype(jnp.float32) - batch["latents"].astype(jnp.float32)
+        add_condition = None
+        if train_pose and batch.get("pose") is not None:
+            from ..models import pose_embedding
+
+            # embed pose with TRAINABLE conv stack; pose_keep gates the
+            # post-embedding dropout (train_svi_dance.py:1045-1048 zeroes the
+            # embedded condition, not the raw pose)
+            cond = pose_embedding.forward(trainable["pose"], batch["pose"])
+            add_condition = cond.astype(dit_cfg.dtype) * batch["pose_keep"].astype(dit_cfg.dtype)
+        audio_tuple = None
+        if batch.get("audio_first") is not None:
+            audio_tuple = (batch["audio_first"], batch["audio_vf"])
         pred = _forward(
             base_params, noisy.astype(dit_cfg.dtype), batch["timestep"],
             batch["context"], batch.get("clip_feature"), batch.get("y"), lora,
+            add_condition=add_condition, audio_embed_tuple=audio_tuple,
         )
         weight = schedule.training_weights[tid]
         loss = jnp.mean(
@@ -118,12 +140,12 @@ def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=T
         )
         return loss, (pred.astype(jnp.float32), target, noisy)
 
-    def train_step(lora, opt_state, base_params, batch):
+    def train_step(trainable, opt_state, base_params, batch):
         (loss, (pred, target, noisy)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            lora, base_params, batch
+            trainable, base_params, batch
         )
-        updates, opt_state = optimizer.update(grads, opt_state, lora)
-        lora = optax.apply_updates(lora, updates)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
 
         # one-step bidirectional error extraction (ref :1151-1160):
         #   x0_pred = step(pred, t, noisy, to_final, self_corr=True)  -> sigma'=1
@@ -141,7 +163,7 @@ def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=T
             "noise_error": noise_error,
             "y_error": y_error,
         }
-        return lora, opt_state, metrics
+        return trainable, opt_state, metrics
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -171,12 +193,19 @@ class ErrorRecyclingTrainer:
             extra_one_step=True, training=True,
         )
         key = jax.random.PRNGKey(self.cfg.seed)
-        self.lora = lora_mod.init_lora_params(
+        lora = lora_mod.init_lora_params(
             key, dit_cfg, rank=self.cfg.lora_rank, targets=self.cfg.lora_targets
         )
+        self.trainable = {"lora": lora}
+        if self.cfg.train_pose:
+            from ..models import pose_embedding
+
+            self.trainable["pose"] = pose_embedding.init_params(
+                jax.random.PRNGKey(self.cfg.seed + 1), dit_cfg.dim
+            )
         self.lora_scale = lora_mod.lora_scale(self.cfg.lora_rank, self.cfg.lora_alpha)
         self.optimizer = make_optimizer(self.cfg)
-        self.opt_state = self.optimizer.init(self.lora)
+        self.opt_state = self.optimizer.init(self.trainable)
         self.buffers = ErrorBuffers(
             num_grids=self.cfg.num_grids,
             buffer_size=self.cfg.error_buffer_k,
@@ -190,8 +219,21 @@ class ErrorRecyclingTrainer:
         self.iteration_count = 0
         self._step_fn = make_train_step(
             dit_cfg, self.schedule, self.optimizer, self.lora_scale,
-            use_remat=self.cfg.use_gradient_checkpointing,
+            use_remat=self.cfg.use_gradient_checkpointing, mesh=mesh,
+            train_pose=self.cfg.train_pose,
         )
+
+    @property
+    def lora(self):
+        return self.trainable["lora"]
+
+    @lora.setter
+    def lora(self, value):
+        self.trainable["lora"] = value
+
+    @property
+    def pose_params(self):
+        return self.trainable.get("pose")
 
     # -- input corruption (host side, ref :1052-1135) ------------------------
 
@@ -231,18 +273,36 @@ class ErrorRecyclingTrainer:
 
     # -- one full step --------------------------------------------------------
 
-    def training_step(self, latents, context, y=None, clip_feature=None):
+    def training_step(self, latents, context, y=None, clip_feature=None,
+                      pose=None, audio_tuple=None):
         """latents (b,16,f,h,w) fp32; context (b,L,4096); y (b,20,f,h,w) or
-        None; clip_feature (b,257,1280) or None. Returns metrics dict."""
+        None; clip_feature (b,257,1280) or None; pose (b,3,F,H,W) raw [0,255]
+        (dance); audio_tuple ((b,1,5,12,768),(b,n_t-1,8,12,768)) (talk).
+        Returns metrics dict."""
         c = self.cfg
         latents = np.asarray(latents, np.float32)
         y_np = None if y is None else np.asarray(y, np.float32)
+        clip_np = None if clip_feature is None else np.asarray(clip_feature, np.float32)
         self.iteration_count += 1
 
         tid, timestep = self.sample_timestep()
         noise_w_error, latents_w_error, y_np, use_clean = self.corrupt_inputs(
             latents, y_np, timestep
         )
+
+        # variant dropouts (dance :1045-1062, talk :969-973)
+        pose_keep = 1.0
+        if pose is not None:
+            if self.rng.random() < c.pose_drop_prob1 or self.rng.random() < c.pose_drop_prob2:
+                pose_keep = 0.0
+            if self.rng.random() < c.cond_drop_prob:
+                if clip_np is not None:
+                    clip_np = np.zeros_like(clip_np)
+                if y_np is not None:
+                    y_np = np.zeros_like(y_np)
+        if audio_tuple is not None and self.rng.random() < c.audio_drop_prob:
+            audio_tuple = (np.zeros_like(np.asarray(audio_tuple[0])),
+                           np.zeros_like(np.asarray(audio_tuple[1])))
 
         b = latents.shape[0]
         batch = {
@@ -252,11 +312,20 @@ class ErrorRecyclingTrainer:
             "timestep": jnp.full((b,), timestep, jnp.float32),
             "timestep_id": jnp.full((b,), tid, jnp.int32),
             "context": jnp.asarray(context, self.dit_cfg.dtype),
-            "clip_feature": None if clip_feature is None else jnp.asarray(clip_feature, self.dit_cfg.dtype),
+            "clip_feature": None if clip_np is None else jnp.asarray(clip_np, self.dit_cfg.dtype),
             "y": None if y_np is None else jnp.asarray(y_np, self.dit_cfg.dtype),
         }
-        self.lora, self.opt_state, metrics = self._step_fn(
-            self.lora, self.opt_state, self.base_params, batch
+        if c.train_pose:
+            batch["pose"] = None if pose is None else jnp.asarray(np.asarray(pose, np.float32))
+            batch["pose_keep"] = jnp.full((1,), pose_keep, jnp.float32)
+        if audio_tuple is not None:
+            batch["audio_first"] = jnp.asarray(np.asarray(audio_tuple[0], np.float32), self.dit_cfg.dtype)
+            batch["audio_vf"] = jnp.asarray(np.asarray(audio_tuple[1], np.float32), self.dit_cfg.dtype)
+        else:
+            batch["audio_first"] = None
+            batch["audio_vf"] = None
+        self.trainable, self.opt_state, metrics = self._step_fn(
+            self.trainable, self.opt_state, self.base_params, batch
         )
 
         if c.use_error_recycling:
@@ -292,6 +361,12 @@ class ErrorRecyclingTrainer:
         from safetensors.numpy import save_file
 
         sd = lora_mod.to_peft_state_dict(self.lora)
+        if self.cfg.train_pose and "pose" in self.trainable:
+            # torch Sequential numbering 0,2,4,... with (out,in,kt,kh,kw) layout
+            for i, conv in enumerate(self.trainable["pose"]):
+                w = np.transpose(np.asarray(conv["w"], np.float32), (4, 3, 0, 1, 2))
+                sd[f"dwpose_embedding.{2 * i}.weight"] = w
+                sd[f"dwpose_embedding.{2 * i}.bias"] = np.asarray(conv["b"], np.float32)
         if side_modules:
             sd.update({k: np.asarray(v, np.float32) for k, v in side_modules.items()})
         save_file(sd, path)
@@ -300,8 +375,12 @@ class ErrorRecyclingTrainer:
         from safetensors.numpy import load_file
 
         sd = load_file(path)
-        self.lora = lora_mod.from_peft_state_dict(sd, self.dit_cfg)
-        self.opt_state = self.optimizer.init(self.lora)
+        self.trainable["lora"] = lora_mod.from_peft_state_dict(sd, self.dit_cfg)
+        if self.cfg.train_pose and any("dwpose_embedding" in k for k in sd):
+            from ..models import pose_embedding
+
+            self.trainable["pose"] = pose_embedding.params_from_torch_state_dict(sd)
+        self.opt_state = self.optimizer.init(self.trainable)
 
     def save_checkpoint(self, ckpt_dir: str):
         """Full resumable state: LoRA + optimizer (orbax) + error buffers +
@@ -315,7 +394,7 @@ class ErrorRecyclingTrainer:
         ckpt_dir = os.path.abspath(ckpt_dir)
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(os.path.join(ckpt_dir, "train_state"), {
-                "lora": self.lora, "opt_state": self.opt_state,
+                "trainable": self.trainable, "opt_state": self.opt_state,
             })
         with open(os.path.join(ckpt_dir, "host_state.pkl"), "wb") as f:
             pickle.dump({
@@ -332,10 +411,10 @@ class ErrorRecyclingTrainer:
         import orbax.checkpoint as ocp
 
         ckpt_dir = os.path.abspath(ckpt_dir)
-        template = {"lora": self.lora, "opt_state": self.opt_state}
+        template = {"trainable": self.trainable, "opt_state": self.opt_state}
         with ocp.StandardCheckpointer() as ckptr:
             state = ckptr.restore(os.path.join(ckpt_dir, "train_state"), template)
-        self.lora, self.opt_state = state["lora"], state["opt_state"]
+        self.trainable, self.opt_state = state["trainable"], state["opt_state"]
         host_path = os.path.join(ckpt_dir, "host_state.pkl")
         if os.path.exists(host_path):
             with open(host_path, "rb") as f:

@@ -113,8 +113,13 @@ def regroup_audio_windows(audio_embed: np.ndarray, audio_window: int = AUDIO_WIN
 def cut_audio_embedding(audio_embed: np.ndarray, num_frames: int, audio_start_idx: int = 0,
                         audio_end_idx: int = 81):
     """Training-side slicing+grouping (ref utils/audio_process.py:79-108).
-    audio_embed: (s, 12, 768). Returns (first (1,5,12,768), latter (n_t,8,12,768))
-    — squeezed like the reference (dataloader adds the batch dim)."""
+    audio_embed: (12, s, 768) as stored in audio_embedding.pkl (the reference
+    rearranges 'b s d -> s b d' first). Returns (first (1,5,12,768),
+    latter (n_t,8,12,768)) — squeezed like the reference (the dataloader adds
+    the batch dim)."""
+    audio_embed = np.asarray(audio_embed, np.float32)
+    if audio_embed.shape[0] == 12 and audio_embed.shape[1] != 12:
+        audio_embed = np.transpose(audio_embed, (1, 0, 2))  # -> (s, 12, 768)
     windows = slice_audio_windows(audio_embed, num_frames, audio_start_idx)
     first, latter = regroup_audio_windows(windows)
     return first[0], latter[0]

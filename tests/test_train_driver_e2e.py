@@ -7,7 +7,7 @@ import sys
 
 import pytest
 
-from test_driver_e2e import synth_tokenizer, synth_weights
+from test_driver_e2e import Z, synth_tokenizer, synth_weights
 
 
 def test_train_driver_end_to_end(tmp_path, monkeypatch):
@@ -63,3 +63,53 @@ def test_train_driver_end_to_end(tmp_path, monkeypatch):
     mm.load_models([os.path.join(root, "diffusion_pytorch_model.safetensors")])
     mm.load_lora_v2(os.path.join(out, ckpts[0]), lora_alpha=1.0)
     assert mm.lora_log[0][1] > 0
+
+
+def test_train_talk_driver_end_to_end(tmp_path, monkeypatch):
+    toy = "/root/reference/data/toy_train/svi-talk/preprocessed"
+    if not os.path.isdir(toy):
+        pytest.skip("reference toy_train talk not present")
+
+    import torch
+    from reference_loader import load_ref_module
+    from safetensors.torch import save_file
+
+    root = str(tmp_path / "weights")
+    os.makedirs(root)
+    synth_weights(root)
+    synth_tokenizer(root)
+
+    # multitalk-enabled tiny DiT (audio branches included)
+    ref_dit = load_ref_module("diffsynth.models.wan_video_dit")
+    torch.manual_seed(0)
+    dit = ref_dit.WanModel(
+        has_image_input=True, enable_multitalk=True, dim=64, in_dim=3 * Z,
+        ffn_dim=128, out_dim=Z, text_dim=64, freq_dim=32, eps=1e-6,
+        patch_size=(1, 2, 2), num_heads=2, num_layers=2,
+    )
+    save_file(dit.state_dict(), os.path.join(root, "dit_multitalk.safetensors"))
+
+    out = str(tmp_path / "exp")
+    argv = [
+        "train_svi_talk.py",
+        "--dataset_path", toy,
+        "--dit_path", os.path.join(root, "dit_multitalk.safetensors"),
+        "--vae_path", os.path.join(root, "Wan2.1_VAE.pth"),
+        "--text_encoder_path", os.path.join(root, "models_t5_umt5-xxl-enc-bf16.pth"),
+        "--image_encoder_path",
+        os.path.join(root, "models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth"),
+        "--output_path", out,
+        "--lora_rank", "4", "--lora_alpha", "4",
+        "--use_error_recycling", "--buffer_warmup_iter", "1",
+        "--num_grids", "10", "--error_buffer_k", "4",
+        "--max_steps", "2", "--save_every_n_steps", "2",
+        "--height", "48", "--width", "48", "--num_frames", "9",
+        "--ref_pad_num", "-1", "--audio_drop_prob", "0.0",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import importlib
+
+    driver = importlib.import_module("train_svi_talk")
+    driver.main()
+    assert any(f.endswith(".safetensors") for f in os.listdir(out))

@@ -230,3 +230,100 @@ def test_full_checkpoint_resume(tmp_path):
     m2 = trainer2.training_step(latents, ctx, y=y, clip_feature=clip)
     # identical state + RNG -> identical next step
     assert abs(m_ref["loss"] - m2["loss"]) < 1e-5
+
+
+def test_dance_training_step_pose_trainable():
+    """SVI-Dance training: trainable dwpose_embedding moves; pose dropout gates."""
+    TINYD = wan_dit.WanDiTConfig(
+        dim=64, in_dim=12, ffn_dim=128, out_dim=4, text_dim=48, freq_dim=32,
+        num_heads=2, num_layers=2, has_image_input=True, dtype=jnp.float32,
+        clip_feature_dim=40,
+    )
+    params = wan_dit.init_params(jax.random.PRNGKey(0), TINYD)
+    cfg = TrainerConfig(lora_rank=4, lora_alpha=4.0, num_grids=10, seed=0,
+                        train_pose=True, pose_drop_prob1=0.0, pose_drop_prob2=0.0,
+                        cond_drop_prob=0.0, clean_prob=0.0)
+    trainer = ErrorRecyclingTrainer(params, TINYD, cfg)
+    rng = np.random.default_rng(0)
+    latents = rng.standard_normal((1, 4, 2, 8, 8)).astype(np.float32)
+    ctx = rng.standard_normal((1, 7, 48)).astype(np.float32)
+    y = rng.standard_normal((1, 8, 2, 8, 8)).astype(np.float32)
+    clip = rng.standard_normal((1, 257, 40)).astype(np.float32)
+    pose = rng.integers(0, 255, (1, 3, 5, 64, 64)).astype(np.float32)
+
+    pose_before = np.asarray(trainer.pose_params[0]["w"]).copy()
+    for _ in range(2):
+        m = trainer.training_step(latents, ctx, y=y, clip_feature=clip, pose=pose)
+        assert np.isfinite(m["loss"])
+    assert np.abs(np.asarray(trainer.pose_params[0]["w"]) - pose_before).max() > 0
+
+    # export keeps dwpose_embedding keys (extract_lora.py semantics)
+    import tempfile, os
+    from svi_tpu.models import model_io
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "lora.safetensors")
+        trainer.save_lora_safetensors(path)
+        sd = model_io.load_state_dict(path)
+        side = model_io.extract_side_modules(sd)
+        assert any("dwpose_embedding" in k for k in side)
+        # and the dance pipeline can load that exact format
+        from svi_tpu.models import pose_embedding as pe
+
+        pose_params = pe.params_from_torch_state_dict(side)
+        out = pe.forward(pose_params, jnp.asarray(pose))
+        assert out.shape[-1] == TINYD.dim
+
+
+def test_talk_training_step_audio():
+    """SVI-Talk training: audio tuple flows through the jitted step."""
+    TINYT = wan_dit.WanDiTConfig(
+        dim=64, in_dim=12, ffn_dim=128, out_dim=4, text_dim=48, freq_dim=32,
+        num_heads=2, num_layers=2, has_image_input=True, enable_multitalk=True,
+        dtype=jnp.float32, clip_feature_dim=40,
+    )
+    params = wan_dit.init_params(jax.random.PRNGKey(0), TINYT)
+    cfg = TrainerConfig(lora_rank=4, lora_alpha=4.0, num_grids=10, seed=0,
+                        audio_drop_prob=0.0, clean_prob=0.0)
+    trainer = ErrorRecyclingTrainer(params, TINYT, cfg)
+    rng = np.random.default_rng(1)
+    latents = rng.standard_normal((1, 4, 2, 8, 8)).astype(np.float32)
+    ctx = rng.standard_normal((1, 7, 48)).astype(np.float32)
+    y = rng.standard_normal((1, 8, 2, 8, 8)).astype(np.float32)
+    clip = rng.standard_normal((1, 257, 40)).astype(np.float32)
+    audio = (rng.standard_normal((1, 1, 5, 12, 768)).astype(np.float32),
+             rng.standard_normal((1, 1, 8, 12, 768)).astype(np.float32))
+    m = trainer.training_step(latents, ctx, y=y, clip_feature=clip, audio_tuple=audio)
+    assert np.isfinite(m["loss"])
+
+
+def test_talk_dataset_on_reference_toy():
+    import os
+
+    base = "/root/reference/data/toy_train/svi-talk/preprocessed"
+    if not os.path.isdir(base):
+        return
+    from svi_tpu.training.dataset import TalkVideoDataset
+
+    ds = TalkVideoDataset(base, max_num_frames=9, height=64, width=64, seed=0)
+    assert len(ds) >= 1
+    item = ds[0]
+    assert item["video"].shape == (3, 9, 64, 64)
+    assert item["audio_first"].shape == (1, 1, 5, 12, 768)
+    assert item["audio_vf"].shape == (1, 2, 8, 12, 768)
+
+
+def test_dance_dataset_legacy_pkl():
+    import os
+
+    base = "/root/reference/data/toy_train/svi-dance/preprocessed"
+    if not os.path.isdir(base):
+        return
+    from svi_tpu.training.dataset import DanceVideoDataset
+
+    ds = DanceVideoDataset(base, max_num_frames=9, height=64, width=64, seed=0)
+    if len(ds) == 0:
+        return  # toy dir has only pose pkls (no frame_data) — structure check only
+    item = ds[0]
+    assert item["video"].shape == (3, 9, 64, 64)
+    assert item["dwpose_data"].shape == (3, 9, 64, 64)
