@@ -1,11 +1,13 @@
 from .svi_video import SVIVideoPipeline, TeaCache, model_fn_wan_video
 from .svi_video_dance import SVIDanceVideoPipeline
 from .svi_video_talk import SVITalkVideoPipeline
+from .wan_video import WanVideoPipeline
 
 __all__ = [
     "SVIVideoPipeline",
     "SVIDanceVideoPipeline",
     "SVITalkVideoPipeline",
+    "WanVideoPipeline",
     "TeaCache",
     "model_fn_wan_video",
 ]

@@ -198,3 +198,75 @@ def test_seeded_noise_matches_reference():
     ).numpy()
     ours = base.generate_noise((1, 4, 3, 8, 8), seed=42)
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_wan_video_pipeline_t2v_and_i2v():
+    """Upstream WanVideoPipeline: T2V (no image) and I2V (ref_pad_num=0)."""
+    from svi_tpu.pipelines.wan_video import WanVideoPipeline
+    from svi_tpu.models import wan_dit, wan_vae
+
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    vae_cfg = wan_vae.WanVAEConfig(dim=16, z_dim=Z, dtype=jnp.float32)
+    vae_params = wan_vae.init_params(key, vae_cfg)
+    t2v_cfg = wan_dit.WanDiTConfig(
+        dim=64, in_dim=Z, ffn_dim=128, out_dim=Z, text_dim=48, freq_dim=32,
+        num_heads=2, num_layers=2, has_image_input=False, dtype=jnp.float32,
+    )
+    pipe = WanVideoPipeline(torch_dtype=jnp.float32)
+    pipe.dit = (wan_dit.init_params(key, t2v_cfg), t2v_cfg)
+    pipe.vae = (vae_params, vae_cfg)
+    frames = pipe(
+        seed=1, height=H, width=W, num_frames=NF, cfg_scale=5.0,
+        num_inference_steps=2, tiled=False,
+        prompt_emb_posi=CTX, prompt_emb_nega=CTX * 0.5,
+    )
+    assert len(frames) == NF
+
+    # I2V through the same pipeline with image conditioning
+    pipe2 = tiny_pipeline()
+    wan = WanVideoPipeline(torch_dtype=jnp.float32)
+    wan.dit, wan.vae, wan.image_encoder = pipe2.dit, pipe2.vae, pipe2.image_encoder
+    frames = wan(
+        input_image=rand_image(0), seed=1, height=H, width=W, num_frames=NF,
+        cfg_scale=5.0, num_inference_steps=2, tiled=False,
+        prompt_emb_posi=CTX, prompt_emb_nega=CTX * 0.5,
+    )
+    assert len(frames) == NF
+
+
+def test_gradio_demo_core_generator(tmp_path):
+    """The UI-free generation core of the gradio demo streams cumulative mp4s."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import gradio_demo as gd
+
+    pipe = tiny_pipeline()
+    demo = gd.SVIGradioDemo(dit_root="unused", output_dir=str(tmp_path), mode="shot")
+    demo.pipe = pipe
+
+    # tiny models need precomputed prompt embeddings — wrap the pipeline
+    # (instance-level __call__ patches are ignored by the call syntax)
+    class _CtxPipe:
+        def __call__(self, *a, **kw):
+            kw.pop("prompt", None)
+            kw.pop("negative_prompt", None)
+            kw["prompt_emb_posi"] = CTX
+            kw["prompt_emb_nega"] = CTX * 0.5
+            return pipe(*a, **kw)
+
+    demo.pipe = _CtxPipe()
+
+    img = rand_image(3)
+    outputs = list(demo.generate_video(
+        np.array(img), "a cat\na dog", num_clips=2, num_steps=2, seed=5, num_frames=NF,
+    ))
+    assert len(outputs) == 2
+    status, path = outputs[-1]
+    assert os.path.exists(path)
+    from svi_tpu.utils.video import load_video_frames
+
+    assert len(load_video_frames(path)) == NF + NF - 1  # shot mode: 1 motion frame
