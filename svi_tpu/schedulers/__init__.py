@@ -1,3 +1,5 @@
+from .continuous_ode import ContinuousODEScheduler
+from .ddim import EnhancedDDIMScheduler
 from .flow_match import (
     FlowMatchSchedule,
     FlowMatchScheduler,
@@ -10,6 +12,8 @@ from .flow_match import (
 )
 
 __all__ = [
+    "ContinuousODEScheduler",
+    "EnhancedDDIMScheduler",
     "FlowMatchSchedule",
     "FlowMatchScheduler",
     "add_noise",

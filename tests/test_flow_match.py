@@ -121,3 +121,65 @@ def test_return_to_timestep():
     a = fm.return_to_timestep(ours.schedule, float(t), x, y)
     b = theirs.return_to_timestep(t, torch.tensor(x), torch.tensor(y))
     np.testing.assert_allclose(np.asarray(a), b.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_ddim_scheduler_parity():
+    ref_ddim = load_ref_module("diffsynth.schedulers.ddim")
+    from svi_tpu.schedulers import EnhancedDDIMScheduler
+
+    for kw in (dict(), dict(prediction_type="v_prediction", rescale_zero_terminal_snr=True),
+               dict(beta_schedule="linear")):
+        ours = EnhancedDDIMScheduler(**kw)
+        theirs = ref_ddim.EnhancedDDIMScheduler(**kw)
+        ours.set_timesteps(10)
+        theirs.set_timesteps(10)
+        np.testing.assert_allclose(ours.timesteps, theirs.timesteps.numpy(), atol=0)
+        np.testing.assert_allclose(ours.alphas_cumprod, theirs.alphas_cumprod, rtol=1e-3, atol=1e-6)
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((1, 4, 4)).astype(np.float32)
+        e = rng.standard_normal(x.shape).astype(np.float32)
+        for i in [0, 5, 9]:
+            t = theirs.timesteps[i]
+            a = ours.step(e, float(t), x)
+            b = theirs.step(torch.tensor(e), t, torch.tensor(x)).numpy()
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+        t = theirs.timesteps[3]
+        np.testing.assert_allclose(
+            ours.add_noise(x, e, float(t)),
+            theirs.add_noise(torch.tensor(x), torch.tensor(e), t).numpy(), rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours.training_target(x, e, float(t))),
+            np.asarray(theirs.training_target(torch.tensor(x), torch.tensor(e), t)),
+            rtol=1e-5,
+        )
+
+
+def test_continuous_ode_scheduler_parity():
+    ref_ode = load_ref_module("diffsynth.schedulers.continuous_ode")
+    from svi_tpu.schedulers import ContinuousODEScheduler
+
+    ours = ContinuousODEScheduler(num_inference_steps=12)
+    theirs = ref_ode.ContinuousODEScheduler(num_inference_steps=12)
+    np.testing.assert_allclose(ours.sigmas, theirs.sigmas.numpy(), rtol=1e-4)
+    np.testing.assert_allclose(ours.timesteps, theirs.timesteps.numpy(), rtol=1e-4, atol=1e-5)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 4, 4)).astype(np.float32)
+    e = rng.standard_normal(x.shape).astype(np.float32)
+    for i in [0, 6, 11]:
+        t = theirs.timesteps[i]
+        a = ours.step(e.copy(), float(t), x.copy())
+        b = theirs.step(torch.tensor(e), t, torch.tensor(x).clone()).numpy()
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+    t = theirs.timesteps[4]
+    np.testing.assert_allclose(
+        ours.add_noise(x, e, float(t)),
+        theirs.add_noise(torch.tensor(x), torch.tensor(e), t).numpy(), rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        ours.training_target(x, e, float(t)),
+        theirs.training_target(torch.tensor(x), torch.tensor(e), t).numpy(), rtol=1e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        ours.training_weight(float(t)), float(theirs.training_weight(t)), rtol=1e-4,
+    )
