@@ -25,6 +25,10 @@ import numpy as np
 
 def main():
     import jax
+
+    import svi_tpu
+
+    svi_tpu.enable_compilation_cache()
     import jax.numpy as jnp
 
     from svi_tpu.models import wan_dit, wan_vae, clip_vision

@@ -55,6 +55,9 @@ def parse_args():
 
 def main():
     args = parse_args()
+    import svi_tpu
+
+    svi_tpu.enable_compilation_cache()
     from PIL import Image
 
     import jax.numpy as jnp

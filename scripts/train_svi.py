@@ -138,6 +138,9 @@ def load_models_and_prompter(args):
 
 def main():
     args = parse_args()
+    import svi_tpu
+
+    svi_tpu.enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

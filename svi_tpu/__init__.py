@@ -19,3 +19,15 @@ Layout (mirrors SURVEY.md §2's component inventory, TPU-first):
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path: str = "~/.cache/jax_svi"):
+    """Persistent XLA compilation cache — first jit of each (resolution,
+    frames) shape costs minutes on TPU; later processes reload in <1s."""
+    import os
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser(path))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
