@@ -50,6 +50,7 @@ class WanDiTConfig:
     num_layers: int = 30
     has_image_input: bool = False
     enable_multitalk: bool = False
+    enable_customtalk: bool = False  # wan_video_dit_talk.py DiTBlock variant
     clip_feature_dim: int = 1280
     text_len: int = 512
     audio_hidden_dim: int = 768
@@ -113,7 +114,7 @@ def _block_init(key, cfg: WanDiTConfig) -> Params:
         p["cross_attn"]["k_img"] = _linear(keys[11], d, d, dt)
         p["cross_attn"]["v_img"] = _linear(keys[12], d, d, dt)
         p["cross_attn"]["norm_k_img"] = {"w": jnp.ones((d,), dt)}
-    if cfg.enable_multitalk:
+    if cfg.enable_multitalk or cfg.enable_customtalk:
         # per-frame audio cross attention (wan_video_dit.py:338-351:
         # SingleStreamMutiAttention with qk_norm=False, qkv_bias=True) +
         # affine WanLayerNorm norm_x
@@ -124,6 +125,16 @@ def _block_init(key, cfg: WanDiTConfig) -> Params:
             "proj": _linear(keys[15], d, d, dt),
         }
         p["norm_x"] = {"w": jnp.ones((d,), dt), "b": jnp.zeros((d,), dt)}
+    if cfg.enable_customtalk:
+        # bottleneck FFNs gating context/audio attention inputs
+        # (wan_video_dit_talk.py:332-357); their norms are non-affine
+        kk = jax.random.split(keys[15], 4)
+        p["customtalk_context_pre_ffns"] = {
+            "0": _linear(kk[0], d, 128, dt), "2": _linear(kk[1], 128, d, dt),
+        }
+        p["customtalk_audio_pre_ffns"] = {
+            "0": _linear(kk[2], d, 128, dt), "2": _linear(kk[3], 128, d, dt),
+        }
     return p
 
 
@@ -160,7 +171,7 @@ def init_params(key, cfg: WanDiTConfig) -> Params:
             "fc3": _linear(keys[10], cd, d, dt),
             "norm4": {"w": jnp.ones((d,), dt), "b": jnp.zeros((d,), dt)},
         }
-    if cfg.enable_multitalk:
+    if cfg.enable_multitalk or cfg.enable_customtalk:
         # AudioProjModel (wan_video_dit.py:52-113): window 5 (first frame) /
         # 8 (latter 4-frame groups) x 12 blocks x 768 ch -> 32 tokens of 768
         ad, ct = cfg.audio_hidden_dim, cfg.audio_context_tokens
@@ -278,7 +289,7 @@ def _cross_attention(
 
 def dit_block(p: Params, cfg: WanDiTConfig, x, context, t_mod, cos, sin,
               lora=None, lora_scale: float = 1.0, num_img_tokens: int = 257,
-              audio_embed=None, num_frames: int = 0):
+              audio_embed=None, num_frames: int = 0, add_condition=None):
     """One DiT block (wan_video_dit.py:354-374), adaLN-modulated; with
     enable_multitalk + audio, per-frame audio cross-attn after text cross-attn
     (ref :361-366)."""
@@ -290,13 +301,38 @@ def dit_block(p: Params, cfg: WanDiTConfig, x, context, t_mod, cos, sin,
     x = x + gate_msa * _self_attention(
         p["self_attn"], cfg, input_x, cos, sin, lora=_l(lora, "self_attn"), lora_scale=lora_scale
     )
-    x = x + _cross_attention(
-        p["cross_attn"], cfg, layer_norm(x, p["norm3"]["w"], p["norm3"]["b"], eps=cfg.eps), context,
-        num_img_tokens=num_img_tokens, lora=_l(lora, "cross_attn"), lora_scale=lora_scale,
-    )
-    if cfg.enable_multitalk and audio_embed is not None:
-        xa = layer_norm(x, p["norm_x"]["w"], p["norm_x"]["b"], eps=cfg.eps)
-        x = x + _audio_cross_attention(p["audio_cross_attn"], cfg, xa, audio_embed, num_frames)
+    if cfg.enable_customtalk and audio_embed is not None:
+        # customtalk (wan_video_dit_talk.py:358-383): bottleneck FFNs gate the
+        # context and audio attention inputs; the block RETURNS its audio
+        # attention output, which becomes the next block's add_condition carry
+        def _pre_ffn(fp, v):
+            return _dense(fp["2"], gelu_tanh(_dense(fp["0"], v)))
+
+        cond_in = add_condition if add_condition is not None else x
+        x_in_ctx = x + _pre_ffn(p["customtalk_context_pre_ffns"], layer_norm(cond_in, eps=cfg.eps))
+        x_c = _cross_attention(
+            p["cross_attn"], cfg,
+            layer_norm(x_in_ctx, p["norm3"]["w"], p["norm3"]["b"], eps=cfg.eps), context,
+            num_img_tokens=num_img_tokens, lora=_l(lora, "cross_attn"), lora_scale=lora_scale,
+        )
+        x = x + x_c
+        x_in_audio = x + _pre_ffn(p["customtalk_audio_pre_ffns"], layer_norm(x_c, eps=cfg.eps))
+        xa = layer_norm(x_in_audio, p["norm_x"]["w"], p["norm_x"]["b"], eps=cfg.eps)
+        x_a = _audio_cross_attention(p["audio_cross_attn"], cfg, xa, audio_embed, num_frames)
+        x = x + x_a
+        input_x = modulate(layer_norm(x, eps=1e-6), shift_mlp, scale_mlp)
+        ffn_lora = _l(lora, "ffn")
+        h = gelu_tanh(_dense_lora(p["ffn"]["0"], input_x, _l(ffn_lora, "0"), lora_scale))
+        ffn = _dense_lora(p["ffn"]["2"], h, _l(ffn_lora, "2"), lora_scale)
+        return x + gate_mlp * ffn, x_a
+    else:
+        x = x + _cross_attention(
+            p["cross_attn"], cfg, layer_norm(x, p["norm3"]["w"], p["norm3"]["b"], eps=cfg.eps), context,
+            num_img_tokens=num_img_tokens, lora=_l(lora, "cross_attn"), lora_scale=lora_scale,
+        )
+        if cfg.enable_multitalk and audio_embed is not None:
+            xa = layer_norm(x, p["norm_x"]["w"], p["norm_x"]["b"], eps=cfg.eps)
+            x = x + _audio_cross_attention(p["audio_cross_attn"], cfg, xa, audio_embed, num_frames)
     input_x = modulate(layer_norm(x, eps=1e-6), shift_mlp, scale_mlp)
     ffn_lora = _l(lora, "ffn")
     h = gelu_tanh(_dense_lora(p["ffn"]["0"], input_x, _l(ffn_lora, "0"), lora_scale))
@@ -408,18 +444,38 @@ def forward_prelude(
 
 def forward_blocks(params, cfg: WanDiTConfig, tokens, ctx, t_mod, grid, use_remat=False,
                    lora=None, lora_scale: float = 1.0, num_img_tokens: int = 257,
-                   audio_embed=None):
+                   audio_embed=None, block_add_condition=None):
     """The scanned DiT block stack (wan_video_dit.py:547-563). `lora` is an
     optional stacked per-block pytree of unfused adapters (training)."""
     cos, sin = rope_angles_for_grid(grid, cfg.head_dim)
+    customtalk_carry = cfg.enable_customtalk and audio_embed is not None
 
-    def block_fn(tok, bp, lbp):
+    def block_fn(tok, bp, lbp, cond=None):
         return dit_block(bp, cfg, tok, ctx, t_mod, cos, sin, lora=lbp,
                          lora_scale=lora_scale, num_img_tokens=num_img_tokens,
-                         audio_embed=audio_embed, num_frames=grid[0])
+                         audio_embed=audio_embed, num_frames=grid[0],
+                         add_condition=cond)
 
     if use_remat:
         block_fn = jax.checkpoint(block_fn)
+
+    if customtalk_carry:
+        # add_condition re-binds to each block's audio-attn output
+        # (wan_video_dit_talk.py: x, add_condition = block(...))
+        cond0 = (block_add_condition if block_add_condition is not None
+                 else jnp.zeros_like(tokens))
+
+        def ct_body(carry, xs):
+            tok, cond = carry
+            if lora is None:
+                tok, cond = block_fn(tok, xs, None, cond)
+            else:
+                tok, cond = block_fn(tok, xs[0], xs[1], cond)
+            return (tok, cond), None
+
+        xs = params["blocks"] if lora is None else (params["blocks"], lora)
+        (tokens, _), _ = jax.lax.scan(ct_body, (tokens, cond0.astype(tokens.dtype)), xs)
+        return tokens
 
     if lora is None:
         def scan_body(tok, bp):
@@ -470,12 +526,13 @@ def forward(
     )
     n_img = clip_feature.shape[1] if (cfg.has_image_input and clip_feature is not None) else 257
     audio_embed = None
-    if cfg.enable_multitalk and audio_embed_tuple is not None:
+    if (cfg.enable_multitalk or cfg.enable_customtalk) and audio_embed_tuple is not None:
         audio_embed = audio_proj_forward(params, cfg, audio_embed_tuple[0], audio_embed_tuple[1])
     tokens = forward_blocks(
         params, cfg, tokens, ctx, t_mod, grid, use_remat=use_remat,
         lora=lora, lora_scale=lora_scale, num_img_tokens=n_img,
         audio_embed=audio_embed,
+        block_add_condition=add_condition if cfg.enable_customtalk else None,
     )
     return forward_head(params, cfg, tokens, t, grid)
 
@@ -578,7 +635,7 @@ def params_from_torch_state_dict(sd: dict, cfg: WanDiTConfig) -> Params:
             p["cross_attn"]["norm_k_img"] = {
                 "w": jnp.asarray(_t(sd[f"{b}.cross_attn.norm_k_img.weight"]), dt)
             }
-        if cfg.enable_multitalk:
+        if cfg.enable_multitalk or cfg.enable_customtalk:
             p["audio_cross_attn"] = {
                 "q_linear": _lin_from(sd, f"{b}.audio_cross_attn.q_linear", dt),
                 "kv_linear": _lin_from(sd, f"{b}.audio_cross_attn.kv_linear", dt),
@@ -588,9 +645,18 @@ def params_from_torch_state_dict(sd: dict, cfg: WanDiTConfig) -> Params:
                 "w": jnp.asarray(_t(sd[f"{b}.norm_x.weight"]), dt),
                 "b": jnp.asarray(_t(sd[f"{b}.norm_x.bias"]), dt),
             }
+        if cfg.enable_customtalk:
+            p["customtalk_context_pre_ffns"] = {
+                "0": _lin_from(sd, f"{b}.customtalk_context_pre_ffns.0", dt),
+                "2": _lin_from(sd, f"{b}.customtalk_context_pre_ffns.2", dt),
+            }
+            p["customtalk_audio_pre_ffns"] = {
+                "0": _lin_from(sd, f"{b}.customtalk_audio_pre_ffns.0", dt),
+                "2": _lin_from(sd, f"{b}.customtalk_audio_pre_ffns.2", dt),
+            }
         return p
 
-    if cfg.enable_multitalk:
+    if cfg.enable_multitalk or cfg.enable_customtalk:
         params["audio_proj"] = {
             "proj1": _lin_from(sd, "audio_proj.proj1", dt),
             "proj1_vf": _lin_from(sd, "audio_proj.proj1_vf", dt),
@@ -620,7 +686,8 @@ def config_from_state_dict(sd) -> WanDiTConfig:
         int(k.split(".")[1]) for k in keys if k.startswith("blocks.") and k.split(".")[1].isdigit()
     )
     has_image = "blocks.0.cross_attn.k_img.weight" in keys
-    multitalk = any("audio" in k for k in keys)
+    customtalk = "blocks.0.customtalk_context_pre_ffns.0.weight" in keys
+    multitalk = (not customtalk) and any("audio" in k for k in keys)
     pe = sd["patch_embedding.weight"].shape  # (dim, in_dim, pt, ph, pw)
     dim, in_dim = int(pe[0]), int(pe[1])
     patch = tuple(int(x) for x in pe[2:])
@@ -634,7 +701,8 @@ def config_from_state_dict(sd) -> WanDiTConfig:
     return WanDiTConfig(
         dim=dim, in_dim=in_dim, ffn_dim=ffn_dim, out_dim=out_dim, text_dim=text_dim,
         freq_dim=freq_dim, patch_size=patch, num_heads=num_heads, num_layers=num_layers,
-        has_image_input=has_image, enable_multitalk=multitalk, clip_feature_dim=clip_dim,
+        has_image_input=has_image, enable_multitalk=multitalk,
+        enable_customtalk=customtalk, clip_feature_dim=clip_dim,
     )
 
 

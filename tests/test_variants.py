@@ -222,3 +222,49 @@ def test_talk_pipeline_runs():
         prompt_emb_posi=ctx, prompt_emb_nega=ctx * 0.5, ref_pad_num=-1,
     )
     assert len(frames) == 9
+
+
+def test_customtalk_dit_forward_parity():
+    """Customtalk variant (wan_video_dit_talk.py): bottleneck FFNs gating
+    context/audio attention; add_condition feeds the context gate per block."""
+    ref_talk = load_ref_module("diffsynth.models.wan_video_dit_talk")
+    TINY = dict(
+        dim=64, in_dim=36, ffn_dim=128, out_dim=16, text_dim=48, freq_dim=32,
+        eps=1e-6, patch_size=(1, 2, 2), num_heads=2, num_layers=2,
+    )
+    torch.manual_seed(7)
+    tm = ref_talk.WanModel(has_image_input=True, enable_customtalk=True, **TINY).eval()
+    cfg = wan_dit.WanDiTConfig(
+        has_image_input=True, enable_customtalk=True, dtype=jnp.float32,
+        **{k: v for k, v in TINY.items() if k != "eps"},
+    )
+    params = wan_dit.params_from_torch_state_dict(tm.state_dict(), cfg)
+
+    rng = np.random.default_rng(7)
+    b, f, h, w = 1, 3, 8, 12
+    s = f * (h // 2) * (w // 2)
+    x = rng.standard_normal((b, 16, f, h, w)).astype(np.float32)
+    y = rng.standard_normal((b, 20, f, h, w)).astype(np.float32)
+    t = np.array([222.0], dtype=np.float32)
+    ctx = rng.standard_normal((b, 9, 48)).astype(np.float32)
+    clip = rng.standard_normal((b, 257, 1280)).astype(np.float32)
+    cond = rng.standard_normal((b, s, TINY["dim"])).astype(np.float32)
+    audio_first = rng.standard_normal((b, 1, 5, 12, 768)).astype(np.float32)
+    audio_vf = rng.standard_normal((b, f - 1, 8, 12, 768)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = tm(
+            torch.tensor(x), torch.tensor(t), torch.tensor(ctx),
+            clip_feature=torch.tensor(clip), y=torch.tensor(y),
+            add_condition=torch.tensor(cond),
+            audio_embed_tuple=(torch.tensor(audio_first), torch.tensor(audio_vf)),
+        ).numpy()
+    ours = np.asarray(
+        wan_dit.forward(
+            params, cfg, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx),
+            clip_feature=jnp.asarray(clip), y=jnp.asarray(y),
+            add_condition=jnp.asarray(cond),
+            audio_embed_tuple=(jnp.asarray(audio_first), jnp.asarray(audio_vf)),
+        )
+    )
+    np.testing.assert_allclose(ours, ref, rtol=5e-4, atol=5e-4)
