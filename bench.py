@@ -74,7 +74,8 @@ def main():
     _ = np.asarray(image_emb["y"][0, 0, 0, 0, 0])
     t_encode = time.perf_counter() - t0
 
-    # --- denoise steps (batched CFG: one b=2 forward per step) ---
+    # --- denoise steps (batched CFG: one b=2 forward per step; the pipeline
+    # dispatches per step — measured equal to a fused fori-loop) ---
     pipe.scheduler.set_timesteps(STEPS, shift=5.0)
     latents = jnp.asarray(rng.standard_normal((1, 16, LT, H // 8, W // 8)), jnp.bfloat16)
     step_fn = pipe._denoise_step_fn()

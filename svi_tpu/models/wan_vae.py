@@ -136,16 +136,17 @@ def residual_block(p, x, caches, idx):
 
 
 def attention_block(p, x):
-    """Single-head per-frame spatial self-attention (ref :235-273)."""
+    """Single-head per-frame spatial self-attention (ref :235-273), via the
+    fused flash kernel (the dense h·w × h·w logits are ~600MB/chunk at 480p)."""
+    from ..ops.attention import flash_attention
+
     b, t, h, w, c = x.shape
     y = _rms_norm_video(p["norm"], x)
     qkv = _per_frame(lambda f: _conv2d(p["to_qkv"], f), y)  # (b,t,h,w,3c)
     qkv = qkv.reshape(b * t, h * w, 3 * c)
     q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
-    scale = c ** -0.5
-    logits = jnp.einsum("bqc,bkc->bqk", q * scale, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    o = jnp.einsum("bqk,bkc->bqc", probs, v).reshape(b, t, h, w, c)
+    o = flash_attention(q[:, :, None], k[:, :, None], v[:, :, None])[:, :, 0]
+    o = o.reshape(b, t, h, w, c)
     o = _per_frame(lambda f: _conv2d(p["proj"], f), o)
     return x + o
 

@@ -60,3 +60,36 @@ def test_resize_and_pad():
     assert out.shape == (1, 3, 32, 32)
     assert out[0, 0, 0, 0] == 0.0  # padded top
     assert out[0, 0, 16, 16] == 1.0  # center content
+
+
+def test_metadata_gen(tmp_path):
+    from svi_tpu.utils.project_utils import generate_metadata_with_captions
+    import csv
+
+    vd = tmp_path / "videos"
+    cd = tmp_path / "caps"
+    vd.mkdir()
+    cd.mkdir()
+    (vd / "a.mp4").touch()
+    (vd / "b.mp4").touch()
+    (cd / "a.txt").write_text("a cat jumps")
+    out = str(tmp_path / "meta.csv")
+    n = generate_metadata_with_captions(str(vd), str(cd), out, default_text="fallback")
+    assert n == 2
+    rows = list(csv.DictReader(open(out)))
+    d = {r["Filename"]: r["Video Description"] for r in rows}
+    assert d["a.mp4"] == "a cat jumps"
+    assert d["b.mp4"] == "fallback"
+
+
+def test_save_args_and_experiment_path(tmp_path):
+    import argparse
+
+    from svi_tpu.utils.project_utils import save_args, update_experiment_path
+
+    args = argparse.Namespace(train_architecture="lora", lora_rank=4,
+                              exp_prefix="t", output_path=str(tmp_path))
+    update_experiment_path(args)
+    assert args.output_path.endswith("t-lora_4")
+    path = save_args(args, args.output_path)
+    assert os.path.exists(path) or os.path.exists(os.path.splitext(path)[0] + ".json")
