@@ -69,6 +69,8 @@ def _fwd_kernel(
         col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
         penalty = jnp.where(col < kv_len, 0.0, _NEG_INF).astype(jnp.float32)
         s = s + penalty
+        # fully-masked block: keep m finite so exp() stays well-behaved; its
+        # contribution is ~exp(-1e30 - m) = 0 either way
 
     m_prev = m_scr[:, :1]  # (bq, 1)
     l_prev = l_scr[:, :1]
@@ -107,9 +109,10 @@ def _flash_fwd_pallas(q, k, v, kv_len, scale, block_q, block_k):
     sk = k.shape[2]
     nq, nk = sq // block_q, sk // block_k
     grid = (b, n, nq, nk)
-    masked = kv_len < sk  # padding present -> mask the final key block
+    # static ints can skip masking when no padding; traced kv_len always masks
+    masked = True if isinstance(kv_len, jax.Array) else kv_len < sk
 
-    kv_len_arr = jnp.asarray([kv_len], dtype=jnp.int32)
+    kv_len_arr = jnp.asarray(kv_len, dtype=jnp.int32).reshape(1)
 
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, block_k=block_k, masked=masked),
@@ -254,6 +257,29 @@ def _flash_core_fwd(q, k, v, kv_len, scale, use_pallas):
     out = out[:, :, :sq]
     lse = lse[:, :, :sq]
     return out, (q, k, v, out, lse)
+
+
+def flash_attention_with_lse(q, k, v, kv_len=None, scale=None, force_xla=False):
+    """Forward-only flash attention returning (out, lse) — for ring attention
+    / cross-chip softmax merging. Layout (B, N, S, D). kv_len may be a TRACED
+    scalar (masking is then always enabled)."""
+    b, n, sq, d = q.shape
+    sk = k.shape[2]
+    if scale is None:
+        scale = d ** -0.5
+    if kv_len is None:
+        kv_len = sk
+    use_pallas = (not force_xla) and jax.default_backend() == "tpu"
+    block_q, block_k = _choose_blocks(sq, sk, d)
+    sq_p, sk_p = _ceil_to(sq, block_q), _ceil_to(sk, block_k)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0))) if sq_p != sq else q
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else k
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else v
+    if use_pallas:
+        out, lse = _flash_fwd_pallas(qp, kp, vp, kv_len, float(scale), block_q, block_k)
+    else:
+        out, lse = _flash_fwd_xla(qp, kp, vp, kv_len, float(scale), block_k)
+    return out[:, :, :sq], lse[:, :, :sq]
 
 
 def _flash_core_bwd(kv_len, scale, use_pallas, res, g):

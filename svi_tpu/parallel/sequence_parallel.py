@@ -29,7 +29,45 @@ from ..ops.norms import gelu_tanh, layer_norm, modulate, rms_norm
 from ..ops.rope import apply_rope, rope_angles_for_grid
 
 
-def _self_attention_sp(p, cfg, x, cos_l, sin_l, kv_len, axis, lora, lora_scale):
+def ring_attention(q, k_local, v_local, axis: str, kv_len_total: int):
+    """Ring attention over the 'axis' shards: K/V blocks rotate with ppermute
+    while each step's partial flash result merges via logsumexp (compute and
+    ICI transfer overlap; bandwidth-optimal vs all-gather). Layout (B,S,N,D);
+    shards are ordered blocks of the global (padded) sequence; keys at global
+    positions >= kv_len_total are masked."""
+    from ..ops.attention import flash_attention_with_lse
+
+    b, s, n, d = q.shape
+    qt = jnp.swapaxes(q, 1, 2)  # (B,N,S,D)
+    n_dev = jax.lax.axis_size(axis)  # static mesh axis size
+    my_idx = jax.lax.axis_index(axis)
+    perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+
+    def step_fn(i, carry):
+        o, lse, kb, vb = carry
+        src = (my_idx - i) % n_dev
+        # valid keys inside this rotated block (padding sits at the global end)
+        blk_valid = jnp.clip(kv_len_total - src * s, 0, s)
+        kt = jnp.swapaxes(kb, 1, 2)
+        vt = jnp.swapaxes(vb, 1, 2)
+        o_i, lse_i = flash_attention_with_lse(qt, kt, vt, kv_len=blk_valid)
+        # cross-shard softmax merge (guide: cross_chip_softmax_combine)
+        lse_new = jnp.logaddexp(lse, lse_i)
+        w_old = jnp.exp(lse - lse_new)[..., None]
+        w_new = jnp.exp(lse_i - lse_new)[..., None]
+        o = o * w_old + o_i.astype(jnp.float32) * w_new
+        # rotate K/V to the next chip (point-to-point over ICI)
+        kb = jax.lax.ppermute(kb, axis, perm)
+        vb = jax.lax.ppermute(vb, axis, perm)
+        return o, lse_new, kb, vb
+
+    o0 = jnp.zeros((b, n, s, d), jnp.float32)
+    lse0 = jnp.full((b, n, s), -1e30, jnp.float32)
+    o, lse, _, _ = jax.lax.fori_loop(0, n_dev, step_fn, (o0, lse0, k_local, v_local))
+    return jnp.swapaxes(o, 1, 2).astype(q.dtype)
+
+
+def _self_attention_sp(p, cfg, x, cos_l, sin_l, kv_len, axis, lora, lora_scale, ring=False):
     b, s, d = x.shape
     n, hd = cfg.num_heads, cfg.head_dim
     from ..models.wan_dit import _dense_lora, _l
@@ -39,15 +77,18 @@ def _self_attention_sp(p, cfg, x, cos_l, sin_l, kv_len, axis, lora, lora_scale):
     v = _dense_lora(p["v"], x, _l(lora, "v"), lora_scale).reshape(b, s, n, hd)
     q = apply_rope(q.reshape(b, s, n, hd), cos_l, sin_l)
     k = apply_rope(k.reshape(b, s, n, hd), cos_l, sin_l)
-    # gather keys/values across sequence shards (ICI collective)
-    k = jax.lax.all_gather(k, axis, axis=1, tiled=True)
-    v = jax.lax.all_gather(v, axis, axis=1, tiled=True)
-    o = flash_attention(q, k, v, kv_len=kv_len).reshape(b, s, d)
+    if ring:
+        o = ring_attention(q, k, v, axis, kv_len).reshape(b, s, d)
+    else:
+        # gather keys/values across sequence shards (ICI collective)
+        k = jax.lax.all_gather(k, axis, axis=1, tiled=True)
+        v = jax.lax.all_gather(v, axis, axis=1, tiled=True)
+        o = flash_attention(q, k, v, kv_len=kv_len).reshape(b, s, d)
     return _dense_lora(p["o"], o, _l(lora, "o"), lora_scale)
 
 
 def _dit_block_sp(p, cfg, x, context, t_mod, cos_l, sin_l, kv_len, axis, lora, lora_scale,
-                  num_img_tokens=257):
+                  num_img_tokens=257, ring=False):
     from ..models.wan_dit import _cross_attention, _dense_lora, _l
 
     mod = p["modulation"].astype(t_mod.dtype) + t_mod
@@ -57,7 +98,7 @@ def _dit_block_sp(p, cfg, x, context, t_mod, cos_l, sin_l, kv_len, axis, lora, l
     input_x = modulate(layer_norm(x, eps=1e-6), shift_msa, scale_msa)
     x = x + gate_msa * _self_attention_sp(
         p["self_attn"], cfg, input_x, cos_l, sin_l, kv_len, axis,
-        _l(lora, "self_attn"), lora_scale,
+        _l(lora, "self_attn"), lora_scale, ring=ring,
     )
     x = x + _cross_attention(
         p["cross_attn"], cfg,
@@ -85,6 +126,7 @@ def forward_sp(
     lora=None,
     lora_scale: float = 1.0,
     use_remat: bool = False,
+    ring: bool = False,
 ) -> jax.Array:
     """Sequence-parallel equivalent of wan_dit.forward. Call under jit with
     `mesh`'s axes ('data', 'sp'); batch shards over 'data'."""
@@ -116,7 +158,7 @@ def forward_sp(
         def block_fn(tk, bp, lbp):
             return _dit_block_sp(
                 bp, cfg, tk, ctx_, t_mod_, cos_l, sin_l, S, "sp", lbp, lora_scale,
-                num_img_tokens=n_img,
+                num_img_tokens=n_img, ring=ring,
             )
 
         if use_remat:

@@ -75,3 +75,17 @@ def test_forward_sp_i2v_branch():
         lambda p, x, t, c, cf, y_: forward_sp(p, cfg, x, t, c, clip_feature=cf, y=y_, mesh=mesh)
     )(params, x, t, ctx, clip, y)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_ring_attention_matches_all_gather(mesh_shape):
+    """Ring attention (ppermute rotation + lse merge) == all-gather KV == single device."""
+    data, sp = mesh_shape
+    mesh = make_mesh(data=data, sp=sp, devices=jax.devices()[: data * sp])
+    params = wan_dit.init_params(jax.random.PRNGKey(0), TINY)
+    x, t, ctx = make_inputs(b=data)
+    ref = wan_dit.forward(params, TINY, x, t, ctx)
+    out_ring = jax.jit(
+        lambda p, x, t, c: forward_sp(p, TINY, x, t, c, mesh=mesh, ring=True)
+    )(params, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out_ring), np.asarray(ref), rtol=3e-4, atol=3e-4)
