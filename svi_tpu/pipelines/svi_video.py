@@ -276,6 +276,25 @@ class SVIVideoPipeline:
             self._jit_cache[name] = jax.jit(fn)
         return self._jit_cache[name]
 
+    def _dit_forward(self, dit_params, x, timestep, ctx, clip_feature, y,
+                     add_condition=None):
+        """DiT forward dispatch: sequence-parallel over the mesh when USP is
+        enabled (the reference's use_usp monkey-patching, svi_video.py:265-273),
+        single-device otherwise."""
+        params_cfg = self.dit[1]
+        if self.use_unified_sequence_parallel and self.sp_mesh is not None:
+            from ..parallel.sequence_parallel import forward_sp
+
+            return forward_sp(
+                dit_params, params_cfg, x, timestep, ctx,
+                clip_feature=clip_feature, y=y, add_condition=add_condition,
+                mesh=self.sp_mesh,
+            )
+        return wan_dit.forward(
+            dit_params, params_cfg, x, timestep, ctx,
+            clip_feature=clip_feature, y=y, add_condition=add_condition,
+        )
+
     def _denoise_step_fn(self):
         params_cfg = self.dit[1]
 
@@ -285,9 +304,8 @@ class SVIVideoPipeline:
             x2 = jnp.concatenate([latents, latents], axis=0)
             clip2 = None if clip_feature is None else jnp.concatenate([clip_feature] * 2, axis=0)
             y2 = None if y is None else jnp.concatenate([y] * 2, axis=0)
-            noise_pred = wan_dit.forward(
-                dit_params, params_cfg, x2, timestep, ctx2,
-                clip_feature=clip2, y=y2, add_condition=add_condition2,
+            noise_pred = self._dit_forward(
+                dit_params, x2, timestep, ctx2, clip2, y2, add_condition2,
             )
             pred_cond, pred_uncond = noise_pred[:b], noise_pred[b:]
             pred = pred_uncond + cfg_scale * (pred_cond - pred_uncond)
@@ -330,9 +348,8 @@ class SVIVideoPipeline:
 
         def step_fn(dit_params, latents, timestep, sigma, sigma_next,
                     ctx, clip_feature, y, add_condition=None):
-            pred = wan_dit.forward(
-                dit_params, params_cfg, latents, timestep, ctx,
-                clip_feature=clip_feature, y=y, add_condition=add_condition,
+            pred = self._dit_forward(
+                dit_params, latents, timestep, ctx, clip_feature, y, add_condition,
             )
             out = latents.astype(jnp.float32) + pred.astype(jnp.float32) * (sigma_next - sigma)
             return out.astype(latents.dtype)

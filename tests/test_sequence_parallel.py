@@ -89,3 +89,41 @@ def test_ring_attention_matches_all_gather(mesh_shape):
         lambda p, x, t, c: forward_sp(p, TINY, x, t, c, mesh=mesh, ring=True)
     )(params, x, t, ctx)
     np.testing.assert_allclose(np.asarray(out_ring), np.asarray(ref), rtol=3e-4, atol=3e-4)
+
+
+def test_pipeline_usp_denoise_matches_single_device():
+    """SVIVideoPipeline(use_usp): the denoise step runs sequence-parallel over
+    the mesh and matches single-device output."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from tests_pipeline_helpers import tiny_pipeline_models
+
+    from PIL import Image
+
+    from svi_tpu.pipelines.svi_video import SVIVideoPipeline
+    from svi_tpu.parallel.mesh import make_sp_mesh
+
+    models = tiny_pipeline_models(z=4)
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    ctx = rng.standard_normal((1, 7, 48)).astype(np.float32)
+
+    def run(usp):
+        pipe = SVIVideoPipeline(torch_dtype=jnp.float32)
+        pipe.dit, pipe.vae, pipe.image_encoder = models
+        if usp:
+            pipe.sp_mesh = make_sp_mesh()
+            pipe.use_unified_sequence_parallel = True
+        return pipe(
+            input_image=img, random_ref_frame=np.array(img), seed=3,
+            height=64, width=64, num_frames=9, cfg_scale=5.0,
+            num_inference_steps=2, tiled=False,
+            prompt_emb_posi=ctx, prompt_emb_nega=ctx * 0.5, ref_pad_num=-1,
+        )
+
+    ref_frames = run(False)
+    usp_frames = run(True)
+    for a, b in zip(ref_frames, usp_frames):
+        diff = np.abs(np.asarray(a, np.int16) - np.asarray(b, np.int16))
+        assert diff.max() <= 2, f"USP output differs by {diff.max()}"
