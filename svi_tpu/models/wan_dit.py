@@ -193,7 +193,14 @@ def init_params(key, cfg: WanDiTConfig) -> Params:
 
 
 def _dense(p: Params, x: jax.Array) -> jax.Array:
-    y = x @ p["w"].astype(x.dtype)
+    if "w_q" in p:
+        # int8 weight storage with per-output-channel scales — the TPU-native
+        # analog of the reference's optional fp8 weight storage
+        # (test_svi.py:337 / lora.py:88-95); halves weight HBM traffic.
+        w = p["w_q"].astype(x.dtype) * p["scale"].astype(x.dtype)
+    else:
+        w = p["w"].astype(x.dtype)
+    y = x @ w
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
@@ -725,3 +732,29 @@ def config_from_state_dict_keys(keys) -> WanDiTConfig:
         in_dim=36 if has_image else 16,
         enable_multitalk=multitalk,
     )
+
+
+def quantize_params_int8(params: Params, min_size: int = 1 << 16) -> Params:
+    """Quantize large linear weights to int8 with per-output-channel scales
+    (symmetric). Small tensors (norms, biases, modulations) stay as-is.
+    Roughly halves DiT weight memory; dequantization happens per-use in
+    _dense. Apply after any LoRA fusion."""
+
+    def quant_leaf_dict(d):
+        if not isinstance(d, dict):
+            return d
+        out = {}
+        for k, v in d.items():
+            if k == "w" and hasattr(v, "ndim") and v.ndim >= 2 and v.size >= min_size:
+                vf = jnp.asarray(v, jnp.float32)
+                scale = jnp.max(jnp.abs(vf), axis=-2, keepdims=True) / 127.0
+                scale = jnp.maximum(scale, 1e-12)
+                out["w_q"] = jnp.clip(jnp.round(vf / scale), -127, 127).astype(jnp.int8)
+                out["scale"] = scale.astype(jnp.float32)
+            elif isinstance(v, dict):
+                out[k] = quant_leaf_dict(v)
+            else:
+                out[k] = v
+        return out
+
+    return quant_leaf_dict(params)

@@ -91,3 +91,26 @@ def test_remat_matches():
     a = wan_dit.forward(params, cfg, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx))
     b = wan_dit.forward(params, cfg, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx), use_remat=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+def test_int8_quantized_forward_close():
+    """int8 weight storage: output stays close to bf16-weights forward, and
+    the stored bytes roughly halve."""
+    import jax
+
+    tm, cfg, params = build_pair(False, seed=5)
+    qparams = wan_dit.quantize_params_int8(params, min_size=1024)
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 16, 2, 4, 6)), jnp.float32)
+    t = jnp.asarray([321.0])
+    ctx = jnp.asarray(rng.standard_normal((1, 5, TINY["text_dim"])), jnp.float32)
+    ref = np.asarray(wan_dit.forward(params, cfg, x, t, ctx))
+    out = np.asarray(wan_dit.forward(qparams, cfg, x, t, ctx))
+    rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-8)
+    assert rel < 0.05, f"int8 relative error {rel}"
+
+    def nbytes(p):
+        return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(p))
+
+    assert nbytes(qparams) < 0.45 * nbytes(params)  # f32 weights -> int8+scales
