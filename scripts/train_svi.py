@@ -89,6 +89,7 @@ def trainer_config_from_args(args):
         gs = args.timestep_grid_size
         y_range = (a // gs, b // gs)
     return TrainerConfig(
+        train_architecture=args.train_architecture,
         learning_rate=args.learning_rate,
         gradient_clip_val=args.gradient_clip_val,
         lora_rank=args.lora_rank,

@@ -62,6 +62,7 @@ class TrainerConfig:
     sigma_shift: float = 5.0
     seed: int = 0
     # variants
+    train_architecture: str = "lora"  # lora | customtalk (ref train_svi.py:659-676)
     train_pose: bool = False          # SVI-Dance: trainable dwpose_embedding
     pose_drop_prob1: float = 0.05     # train_svi_dance.py:1045-1048
     pose_drop_prob2: float = 0.1
@@ -76,8 +77,26 @@ def make_optimizer(cfg: TrainerConfig):
     )
 
 
+def split_customtalk_params(base_params):
+    """Extract the trainable customtalk subtrees (names containing
+    'customtalk' — ref train_svi.py:670-676 requires_grad selection)."""
+    blocks = base_params["blocks"]
+    return {
+        "customtalk_context_pre_ffns": blocks["customtalk_context_pre_ffns"],
+        "customtalk_audio_pre_ffns": blocks["customtalk_audio_pre_ffns"],
+    }
+
+
+def merge_customtalk_params(base_params, ct):
+    blocks = dict(base_params["blocks"])
+    blocks.update(ct)
+    out = dict(base_params)
+    out["blocks"] = blocks
+    return out
+
+
 def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=True,
-                    mesh=None, train_pose: bool = False):
+                    mesh=None, train_pose: bool = False, train_customtalk: bool = False):
     """Returns jitted train_step(lora, opt_state, base_params, batch) ->
     (lora, opt_state, metrics dict with loss/noise_error/y_error).
 
@@ -109,7 +128,9 @@ def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=T
         )
 
     def loss_fn(trainable, base_params, batch):
-        lora = trainable["lora"]
+        lora = trainable.get("lora")
+        if train_customtalk:
+            base_params = merge_customtalk_params(base_params, trainable["customtalk"])
         tid = batch["timestep_id"]
         sigma = schedule.sigmas[tid][:, None, None, None, None]
         noisy = (1 - sigma) * batch["latents_w_error"].astype(jnp.float32) + sigma * batch[
@@ -193,10 +214,14 @@ class ErrorRecyclingTrainer:
             extra_one_step=True, training=True,
         )
         key = jax.random.PRNGKey(self.cfg.seed)
-        lora = lora_mod.init_lora_params(
-            key, dit_cfg, rank=self.cfg.lora_rank, targets=self.cfg.lora_targets
-        )
-        self.trainable = {"lora": lora}
+        if self.cfg.train_architecture == "customtalk":
+            assert dit_cfg.enable_customtalk, "customtalk training needs a customtalk DiT"
+            self.trainable = {"customtalk": split_customtalk_params(base_params)}
+        else:
+            lora = lora_mod.init_lora_params(
+                key, dit_cfg, rank=self.cfg.lora_rank, targets=self.cfg.lora_targets
+            )
+            self.trainable = {"lora": lora}
         if self.cfg.train_pose:
             from ..models import pose_embedding
 
@@ -221,11 +246,12 @@ class ErrorRecyclingTrainer:
             dit_cfg, self.schedule, self.optimizer, self.lora_scale,
             use_remat=self.cfg.use_gradient_checkpointing, mesh=mesh,
             train_pose=self.cfg.train_pose,
+            train_customtalk=self.cfg.train_architecture == "customtalk",
         )
 
     @property
     def lora(self):
-        return self.trainable["lora"]
+        return self.trainable.get("lora")
 
     @lora.setter
     def lora(self, value):
@@ -360,7 +386,16 @@ class ErrorRecyclingTrainer:
         on_save_checkpoint :1294-1304 + utils/extract_lora.py)."""
         from safetensors.numpy import save_file
 
-        sd = lora_mod.to_peft_state_dict(self.lora)
+        sd = lora_mod.to_peft_state_dict(self.lora) if self.lora is not None else {}
+        if "customtalk" in self.trainable:
+            # export customtalk FFNs in torch naming (fuseable via load_models)
+            for mod_name, sub in self.trainable["customtalk"].items():
+                for idx, leaf in sub.items():
+                    w = np.asarray(leaf["w"], np.float32)
+                    L = w.shape[0]
+                    for i in range(L):
+                        sd[f"blocks.{i}.{mod_name}.{idx}.weight"] = w[i].T.copy()
+                        sd[f"blocks.{i}.{mod_name}.{idx}.bias"] = np.asarray(leaf["b"][i], np.float32)
         if self.cfg.train_pose and "pose" in self.trainable:
             # torch Sequential numbering 0,2,4,... with (out,in,kt,kh,kw) layout
             for i, conv in enumerate(self.trainable["pose"]):

@@ -327,3 +327,44 @@ def test_dance_dataset_legacy_pkl():
     item = ds[0]
     assert item["video"].shape == (3, 9, 64, 64)
     assert item["dwpose_data"].shape == (3, 9, 64, 64)
+
+
+def test_customtalk_training_mode():
+    """train_architecture='customtalk': only the bottleneck FFNs move."""
+    TINYC = wan_dit.WanDiTConfig(
+        dim=64, in_dim=12, ffn_dim=128, out_dim=4, text_dim=48, freq_dim=32,
+        num_heads=2, num_layers=2, has_image_input=True, enable_customtalk=True,
+        dtype=jnp.float32, clip_feature_dim=40,
+    )
+    params = wan_dit.init_params(jax.random.PRNGKey(0), TINYC)
+    cfg = TrainerConfig(train_architecture="customtalk", num_grids=10, seed=0,
+                        clean_prob=0.0, audio_drop_prob=0.0)
+    trainer = ErrorRecyclingTrainer(params, TINYC, cfg)
+    assert "customtalk" in trainer.trainable and "lora" not in trainer.trainable
+
+    rng = np.random.default_rng(2)
+    latents = rng.standard_normal((1, 4, 2, 8, 8)).astype(np.float32)
+    ctx = rng.standard_normal((1, 7, 48)).astype(np.float32)
+    y = rng.standard_normal((1, 8, 2, 8, 8)).astype(np.float32)
+    clip = rng.standard_normal((1, 257, 40)).astype(np.float32)
+    audio = (rng.standard_normal((1, 1, 5, 12, 768)).astype(np.float32),
+             rng.standard_normal((1, 1, 8, 12, 768)).astype(np.float32))
+    before = np.asarray(
+        trainer.trainable["customtalk"]["customtalk_context_pre_ffns"]["0"]["w"]
+    ).copy()
+    m = trainer.training_step(latents, ctx, y=y, clip_feature=clip, audio_tuple=audio)
+    assert np.isfinite(m["loss"])
+    after = np.asarray(
+        trainer.trainable["customtalk"]["customtalk_context_pre_ffns"]["0"]["w"]
+    )
+    assert np.abs(after - before).max() > 0
+
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ct.safetensors")
+        trainer.save_lora_safetensors(path)
+        from safetensors.numpy import load_file
+
+        sd = load_file(path)
+        assert any("customtalk_context_pre_ffns" in k for k in sd)
