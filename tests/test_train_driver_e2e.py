@@ -113,3 +113,56 @@ def test_train_talk_driver_end_to_end(tmp_path, monkeypatch):
     driver = importlib.import_module("train_svi_talk")
     driver.main()
     assert any(f.endswith(".safetensors") for f in os.listdir(out))
+
+
+def test_train_dance_driver_end_to_end(tmp_path, monkeypatch):
+    import numpy as np
+
+    root = str(tmp_path / "weights")
+    os.makedirs(root)
+    synth_weights(root)
+    synth_tokenizer(root)
+
+    # synthesize a dance sample dir: paired video.mp4 + dwpose.mp4
+    from svi_tpu.utils.video import save_video
+
+    data = str(tmp_path / "dance" / "00001")
+    os.makedirs(data)
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (64, 64, 3), dtype=np.uint8) for _ in range(12)]
+    poses = [rng.integers(0, 255, (64, 64, 3), dtype=np.uint8) for _ in range(12)]
+    save_video(frames, os.path.join(data, "video.mp4"), fps=8)
+    save_video(poses, os.path.join(data, "dwpose.mp4"), fps=8)
+
+    out = str(tmp_path / "exp")
+    argv = [
+        "train_svi_dance.py",
+        "--dataset_path", str(tmp_path / "dance"),
+        "--dit_path", os.path.join(root, "diffusion_pytorch_model.safetensors"),
+        "--vae_path", os.path.join(root, "Wan2.1_VAE.pth"),
+        "--text_encoder_path", os.path.join(root, "models_t5_umt5-xxl-enc-bf16.pth"),
+        "--image_encoder_path",
+        os.path.join(root, "models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth"),
+        "--output_path", out,
+        "--lora_rank", "4", "--lora_alpha", "4",
+        "--use_error_recycling", "--buffer_warmup_iter", "1",
+        "--num_grids", "10", "--error_buffer_k", "4",
+        "--max_steps", "2", "--save_every_n_steps", "2",
+        "--height", "48", "--width", "48", "--num_frames", "5",
+        "--ref_pad_num", "-1",
+        "--pose_drop_prob1", "0.0", "--pose_drop_prob2", "0.0", "--cond_drop_prob", "0.0",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import importlib
+
+    driver = importlib.import_module("train_svi_dance")
+    driver.main()
+    ckpts = [f for f in os.listdir(out) if f.endswith(".safetensors")]
+    assert len(ckpts) == 1
+    # checkpoint carries both lora and dwpose_embedding tensors
+    from svi_tpu.models import model_io
+
+    sd = model_io.load_state_dict(os.path.join(out, ckpts[0]))
+    assert any("lora_A" in k for k in sd)
+    assert any("dwpose_embedding" in k for k in sd)
