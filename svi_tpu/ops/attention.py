@@ -7,15 +7,30 @@ DiT is non-causal); padded key positions are masked via a `kv_len` scalar so
 callers can pad sequence lengths up to block multiples without changing
 results.
 
+Design notes (measured on TPU v5e at the SVI shape b2 n12 s32760 d128):
+
+  * FLAT LAYOUT: the kernel reads Q/K/V in their natural projection layout
+    (B, S, N·D) with each head addressed as a 128-lane block — the
+    (B,S,N,D)->(B,N,S,D) relayouts of the classic layout cost ~4.4 ms per
+    tensor per layer at this shape and are gone entirely.
+  * exp2 softmax: log2(e) is folded into the Q scale and the online softmax
+    runs on exp2 (the VPU's native exponent path) — ~3% kernel time.
+  * optional FUSED 3D-RoPE: cos/sin tables stream into VMEM alongside K/Q
+    blocks and the interleaved pair rotation happens in-register (two lane
+    rolls + parity select; mosaic has no rev/strided-slice), removing the
+    separate XLA rope pass (~6.5 ms/tensor/layer) and its HBM round trip.
+
 API: `flash_attention(q, k, v, kv_len=None, scale=None)` with tensors in
 (B, S, N, D) layout ("b s n d"), matching the reference's flash-attn call
-convention. Softmax statistics are kept in float32; the matmuls run on the MXU
-in the input dtype with float32 accumulation.
+convention; `flash_attention_rope(q, k, v, cos, sin, ...)` additionally
+applies interleaved-pair RoPE to q/k inside the kernel. Softmax statistics
+are kept in float32; the matmuls run on the MXU with float32 accumulation.
 
-The op is differentiable: forward is a Pallas kernel on TPU (or a
+Both ops are differentiable: forward is the Pallas kernel on TPU (or a
 lax.scan-chunked XLA implementation elsewhere); backward recomputes attention
 blockwise from the saved logsumexp (flash-attention backward), so memory stays
-O(S·D) instead of O(S²).
+O(S·D) instead of O(S²). The RoPE rotation is orthogonal, so its backward is
+the inverse rotation (cos, -sin) applied to dq/dk — exact.
 """
 
 from __future__ import annotations
@@ -29,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
+_LOG2E = 1.4426950408889634
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -36,13 +52,29 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Pallas forward kernel
+# Pallas forward kernel — flat (B, S, N*D) layout, exp2 softmax, optional rope
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(
-    kv_len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-    *, scale, block_k, masked,
+def _rope_in_kernel(x, cosE, sinE, head_dim):
+    """Interleaved pair rotation on a (rows, head_dim) f32 block.
+
+    cosE/sinE are pair-expanded full-width tables (rows, head_dim) with the
+    alternating pair-swap sign baked into sinE: out = x*cosE + swap_pairs(x)*
+    sinE, where swap_pairs([a,b,...]) = [b,a,...]. swap_pairs is two circular
+    lane rolls + a parity select (mosaic lowers no rev / strided lane slice).
+    """
+    rl = pltpu.roll(x, head_dim - 1, 1)  # rl[l] = x[l+1] (circular)
+    rr = pltpu.roll(x, 1, 1)  # rr[l] = x[l-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    xs = jnp.where(lane % 2 == 0, rl, rr)
+    return x * cosE + xs * sinE
+
+
+def _fwd_kernel_flat(
+    kv_len_ref, q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+    o_ref, lse_ref, m_scr, l_scr, acc_scr,
+    *, scale, block_k, masked, fuse_rope, head_dim,
 ):
     j = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -52,11 +84,13 @@ def _fwd_kernel(
         m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
 
-    # NB: upcasting q/k to f32 before the dot measures FASTER on v5e than the
-    # bf16 dot with f32 accumulation (90 vs 82 TFLOPS at 32k tokens) — mosaic
-    # picks a better matmul strategy for it. Keep unless re-benchmarked.
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # (bq, d)
-    k = k_ref[0, 0].astype(jnp.float32)  # (bk, d)
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    if fuse_rope:
+        q = _rope_in_kernel(q, cq_ref[:], sq_ref[:], head_dim)
+        k = _rope_in_kernel(k, ck_ref[:], sk_ref[:], head_dim)
+    # exp2 softmax: fold log2(e) into the scale, use the VPU's native exp2
+    q = q * (scale * _LOG2E)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, bk)
@@ -74,10 +108,148 @@ def _fwd_kernel(
         kv_len = kv_len_ref[0]
         col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
         penalty = jnp.where(col < kv_len, 0.0, _NEG_INF).astype(jnp.float32)
-        p = jnp.exp(s - m_new + penalty)
+        p = jnp.exp2(s - m_new + penalty)
     else:
-        p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == 0)
+    def _():
+        acc_scr[:] = pv
+
+    @pl.when(j > 0)
+    def _():
+        acc_scr[:] = acc_scr[:] * alpha + pv
+
+    m_scr[:, :1] = m_new
+    l_scr[:, :1] = l_new
+
+    @pl.when(j == nk - 1)
+    def _():
+        l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        # lse in base-e for the XLA backward: m/log2e + log(l)
+        lse_ref[0, 0] = m_scr[:, :1] / _LOG2E + jnp.log(jnp.maximum(l, 1e-30))
+
+
+def _flash_fwd_pallas_flat(
+    q, k, v, cosE, sinE, kv_len, scale, block_q, block_k, head_dim, fuse_rope
+):
+    """q,k,v: (B, S, N*D) flat, padded to block multiples. cosE/sinE:
+    pair-expanded (S_pad, head_dim) f32 tables (ignored unless fuse_rope).
+    Returns (out flat, lse (B, N, Sq, 1))."""
+    b, sq, nd = q.shape
+    sk = k.shape[1]
+    n = nd // head_dim
+    nq, nk = sq // block_q, sk // block_k
+    grid = (b, n, nq, nk)
+    masked = True if isinstance(kv_len, jax.Array) else kv_len < sk
+    kv_len_arr = jnp.asarray(kv_len, dtype=jnp.int32).reshape(1)
+
+    if fuse_rope:
+        q_tab_spec = pl.BlockSpec((block_q, head_dim), lambda b_, n_, i, j, *r: (i, 0))
+        k_tab_spec = pl.BlockSpec((block_k, head_dim), lambda b_, n_, i, j, *r: (j, 0))
+    else:
+        # unused dummy tables: one tiny pinned block, never read by the kernel
+        q_tab_spec = k_tab_spec = pl.BlockSpec(
+            (8, head_dim), lambda b_, n_, i, j, *r: (0, 0)
+        )
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_flat, scale=scale, block_k=block_k, masked=masked,
+            fuse_rope=fuse_rope, head_dim=head_dim,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, head_dim), lambda b_, n_, i, j, *r: (b_, i, n_)),
+                pl.BlockSpec((1, block_k, head_dim), lambda b_, n_, i, j, *r: (b_, j, n_)),
+                pl.BlockSpec((1, block_k, head_dim), lambda b_, n_, i, j, *r: (b_, j, n_)),
+                q_tab_spec,
+                q_tab_spec,
+                k_tab_spec,
+                k_tab_spec,
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, head_dim), lambda b_, n_, i, j, *r: (b_, i, n_)),
+                pl.BlockSpec((1, 1, block_q, 1), lambda b_, n_, i, j, *r: (b_, n_, i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, head_dim), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq, nd), q.dtype),
+            jax.ShapeDtypeStruct((b, n, sq, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(kv_len_arr, q, k, v, cosE, sinE, cosE, sinE)
+    return out, lse[..., 0]
+
+
+def _expand_rope_tables(cos, sin, head_dim, pad_to):
+    """(S, D/2) pair tables -> (pad_to, D) expanded tables for the kernel.
+
+    cosE[:, 2i] = cosE[:, 2i+1] = cos_i; sinE[:, 2i] = -sin_i,
+    sinE[:, 2i+1] = +sin_i (pair-swap sign baked in)."""
+    cos = jnp.asarray(cos, jnp.float32)
+    sin = jnp.asarray(sin, jnp.float32)
+    sign = jnp.tile(jnp.asarray([-1.0, 1.0], jnp.float32), head_dim // 2)
+    cosE = jnp.repeat(cos, 2, axis=-1)
+    sinE = jnp.repeat(sin, 2, axis=-1) * sign
+    s = cos.shape[0]
+    if pad_to != s:
+        cosE = jnp.pad(cosE, ((0, pad_to - s), (0, 0)), constant_values=1.0)
+        sinE = jnp.pad(sinE, ((0, pad_to - s), (0, 0)))
+    return cosE, sinE
+
+
+# ---------------------------------------------------------------------------
+# Legacy (B, N, S, D) kernel — kept for the ring-attention path (with_lse)
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    kv_len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+    *, scale, block_k, masked,
+):
+    j = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+
+    q = q_ref[0, 0].astype(jnp.float32) * (scale * _LOG2E)  # (bq, d)
+    k = k_ref[0, 0].astype(jnp.float32)  # (bk, d)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bk)
+
+    m_prev = m_scr[:, :1]  # (bq, 1)
+    l_prev = l_scr[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    if masked:
+        kv_len = kv_len_ref[0]
+        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
+        penalty = jnp.where(col < kv_len, 0.0, _NEG_INF).astype(jnp.float32)
+        p = jnp.exp2(s - m_new + penalty)
+    else:
+        p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
     pv = jax.lax.dot_general(
@@ -100,7 +272,7 @@ def _fwd_kernel(
     def _():
         l = l_scr[:, :1]
         o_ref[0, 0] = (acc_scr[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-        lse_ref[0, 0] = m_scr[:, :1] + jnp.log(jnp.maximum(l_scr[:, :1], 1e-30))
+        lse_ref[0, 0] = m_scr[:, :1] / _LOG2E + jnp.log(jnp.maximum(l_scr[:, :1], 1e-30))
 
 
 def _flash_fwd_pallas(q, k, v, kv_len, scale, block_q, block_k):
@@ -223,14 +395,14 @@ def _flash_bwd_xla(q, k, v, out, lse, g, kv_len, scale, block_k):
 
 
 # ---------------------------------------------------------------------------
-# Public op
+# Differentiable core (flat layout, optional fused rope)
 # ---------------------------------------------------------------------------
 
 
 def _choose_blocks(sq: int, sk: int, d: int):
     """Empirically tuned on TPU v5e at 32k tokens / head_dim 128 (bq=1024,
-    bk=2048 ≈ 90 TFLOPS); larger head dims (e.g. the VAE's single 384-wide
-    head, f32) scale blocks down to stay inside the 16MB VMEM budget."""
+    bk=2048 ≈ 145 TFLOPS with exp2); larger head dims (e.g. the VAE's single
+    384-wide head, f32) scale blocks down to stay inside the VMEM budget."""
     if d <= 128:
         bq_max, bk_max = 1024, 2048
     elif d <= 256:
@@ -242,28 +414,207 @@ def _choose_blocks(sq: int, sk: int, d: int):
     return block_q, block_k
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_core(q, k, v, kv_len, scale, use_pallas):
-    out, _ = _flash_core_fwd(q, k, v, kv_len, scale, use_pallas)
+def _apply_rope_xla(x4, cos, sin, inverse=False):
+    """Interleaved-pair rotation at the XLA level. x4: (B,S,N,D);
+    cos/sin: (S, D/2). inverse=True rotates by -theta (rope backward)."""
+    b, s, n, d = x4.shape
+    xf = x4.astype(jnp.float32).reshape(b, s, n, d // 2, 2)
+    xr, xi = xf[..., 0], xf[..., 1]
+    c = jnp.asarray(cos, jnp.float32)[None, :, None, :]
+    si = jnp.asarray(sin, jnp.float32)[None, :, None, :]
+    if inverse:
+        si = -si
+    or_ = xr * c - xi * si
+    oi = xr * si + xi * c
+    out = jnp.stack([or_, oi], axis=-1).reshape(b, s, n, d)
+    return out.astype(x4.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_core_flat(q, k, v, cos, sin, kv_len, scale, use_pallas, use_rope, head_dim):
+    out, _ = _flash_core_flat_fwd(
+        q, k, v, cos, sin, kv_len, scale, use_pallas, use_rope, head_dim
+    )
     return out
 
 
-def _flash_core_fwd(q, k, v, kv_len, scale, use_pallas):
-    b, n, sq, d = q.shape
-    sk = k.shape[2]
-    block_q, block_k = _choose_blocks(sq, sk, d)
+def _flash_core_flat_fwd(q, k, v, cos, sin, kv_len, scale, use_pallas, use_rope, head_dim):
+    """q,k,v: (B, S, N*D) flat."""
+    b, sq, nd = q.shape
+    sk = k.shape[1]
+    n = nd // head_dim
+    block_q, block_k = _choose_blocks(sq, sk, head_dim)
     sq_p, sk_p = _ceil_to(sq, block_q), _ceil_to(sk, block_k)
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0))) if sq_p != sq else q
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else k
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else v
 
     if use_pallas:
-        out, lse = _flash_fwd_pallas(qp, kp, vp, kv_len, scale, block_q, block_k)
+        qp = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0))) if sq_p != sq else q
+        kp = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else k
+        vp = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else v
+        if use_rope:
+            # one table serves both q (block_q-indexed) and k (block_k-indexed)
+            tab_pad = _ceil_to(max(sq_p, sk_p), max(block_q, block_k))
+            cosE, sinE = _expand_rope_tables(cos, sin, head_dim, tab_pad)
+        else:
+            cosE = sinE = jnp.zeros((8, head_dim), jnp.float32)
+        out, lse = _flash_fwd_pallas_flat(
+            qp, kp, vp, cosE, sinE, kv_len, scale, block_q, block_k, head_dim, use_rope
+        )
+        out = out[:, :sq]
+        lse = lse[:, :, :sq]
     else:
-        out, lse = _flash_fwd_xla(qp, kp, vp, kv_len, scale, block_k)
-    out = out[:, :, :sq]
-    lse = lse[:, :, :sq]
-    return out, (q, k, v, out, lse)
+        q4 = q.reshape(b, sq, n, head_dim)
+        k4 = k.reshape(b, sk, n, head_dim)
+        v4 = v.reshape(b, sk, n, head_dim)
+        if use_rope:
+            q4 = _apply_rope_xla(q4, cos, sin)
+            k4 = _apply_rope_xla(k4, cos, sin)
+        qt = jnp.swapaxes(q4, 1, 2)
+        kt = jnp.swapaxes(k4, 1, 2)
+        vt = jnp.swapaxes(v4, 1, 2)
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else kt
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else vt
+        out_t, lse = _flash_fwd_xla(qt, kt, vt, kv_len, scale, block_k)
+        out = jnp.swapaxes(out_t, 1, 2).reshape(b, sq, nd)
+    return out, (q, k, v, cos, sin, out, lse)
+
+
+def _flash_core_flat_bwd(kv_len, scale, use_pallas, use_rope, head_dim, res, g):
+    q, k, v, cos, sin, out, lse = res
+    b, sq, nd = q.shape
+    sk = k.shape[1]
+    n = nd // head_dim
+    q4 = q.reshape(b, sq, n, head_dim)
+    k4 = k.reshape(b, sk, n, head_dim)
+    v4 = v.reshape(b, sk, n, head_dim)
+    if use_rope:
+        q4 = _apply_rope_xla(q4, cos, sin)
+        k4 = _apply_rope_xla(k4, cos, sin)
+    qt = jnp.swapaxes(q4, 1, 2)
+    kt = jnp.swapaxes(k4, 1, 2)
+    vt = jnp.swapaxes(v4, 1, 2)
+    gt = jnp.swapaxes(g.reshape(b, sq, n, head_dim), 1, 2)
+    out_t = jnp.swapaxes(out.reshape(b, sq, n, head_dim), 1, 2)
+    _, block_k = _choose_blocks(sq, sk, head_dim)
+    sk_p = _ceil_to(sk, block_k)
+    kt = jnp.pad(kt, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else kt
+    vt = jnp.pad(vt, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else vt
+    dq, dk, dv = _flash_bwd_xla(qt, kt, vt, out_t, lse, gt, kv_len, scale, block_k)
+    dk = dk[:, :, :sk]
+    dv = dv[:, :, :sk]
+    dq4 = jnp.swapaxes(dq, 1, 2)
+    dk4 = jnp.swapaxes(dk, 1, 2)
+    dv4 = jnp.swapaxes(dv, 1, 2)
+    if use_rope:
+        # rotation is orthogonal: grad through rope = inverse rotation
+        dq4 = _apply_rope_xla(dq4, cos, sin, inverse=True)
+        dk4 = _apply_rope_xla(dk4, cos, sin, inverse=True)
+    zc = jnp.zeros_like(jnp.asarray(cos, jnp.float32))
+    zs = jnp.zeros_like(jnp.asarray(sin, jnp.float32))
+    return (
+        dq4.reshape(b, sq, nd), dk4.reshape(b, sk, nd), dv4.reshape(b, sk, nd), zc, zs
+    )
+
+
+_flash_core_flat.defvjp(_flash_core_flat_fwd, _flash_core_flat_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public ops
+# ---------------------------------------------------------------------------
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_len: Optional[int] = None,
+    scale: Optional[float] = None,
+    force_xla: bool = False,
+) -> jax.Array:
+    """Full (non-causal) attention. q: (B, Sq, N, D); k, v: (B, Sk, N, D).
+
+    kv_len masks keys at positions >= kv_len (defaults to Sk); use it when the
+    caller pre-pads the key sequence. Returns (B, Sq, N, D) in q.dtype.
+    """
+    assert q.ndim == 4 and k.ndim == 4 and v.ndim == 4
+    b, sq, n, d = q.shape
+    sk = k.shape[1]
+    if kv_len is None:
+        kv_len = sk
+    if scale is None:
+        scale = d ** -0.5
+    use_pallas = (not force_xla) and jax.default_backend() == "tpu"
+    dummy = jnp.zeros((1, max(1, d // 2)), jnp.float32)
+    out = _flash_core_flat(
+        q.reshape(b, sq, n * d), k.reshape(b, sk, n * d), v.reshape(b, sk, n * d),
+        dummy, dummy, int(kv_len), float(scale), use_pallas, False, d,
+    )
+    return out.reshape(b, sq, n, d)
+
+
+def flash_attention_rope(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    kv_len: Optional[int] = None,
+    scale: Optional[float] = None,
+    force_xla: bool = False,
+) -> jax.Array:
+    """Self-attention with interleaved-pair 3D RoPE fused into the kernel.
+
+    q, k, v: (B, S, N, D) — q and k NOT yet rotated; cos/sin: (S, D/2) pair
+    tables from ops.rope.rope_angles_for_grid. Equivalent to
+    flash_attention(apply_rope(q), apply_rope(k), v) but ~9% faster end to
+    end at the SVI shape (no separate rope pass, no layout changes).
+    """
+    assert q.ndim == 4 and q.shape == k.shape == v.shape
+    b, s, n, d = q.shape
+    assert cos.shape[0] >= s, f"rope table {cos.shape} shorter than seq {s}"
+    if kv_len is None:
+        kv_len = s
+    if scale is None:
+        scale = d ** -0.5
+    use_pallas = (not force_xla) and jax.default_backend() == "tpu"
+    cos = jnp.asarray(cos, jnp.float32)[:s]
+    sin = jnp.asarray(sin, jnp.float32)[:s]
+    out = _flash_core_flat(
+        q.reshape(b, s, n * d), k.reshape(b, s, n * d), v.reshape(b, s, n * d),
+        cos, sin, int(kv_len), float(scale), use_pallas, True, d,
+    )
+    return out.reshape(b, s, n, d)
+
+
+def flash_attention_flat(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    head_dim: int,
+    cos: Optional[jax.Array] = None,
+    sin: Optional[jax.Array] = None,
+    kv_len: Optional[int] = None,
+    scale: Optional[float] = None,
+    force_xla: bool = False,
+) -> jax.Array:
+    """Flat-layout entry: q,k,v (B, S, N·head_dim) straight from the qkv
+    projections, optional fused rope — zero reshapes/relayouts end to end."""
+    b, sq, nd = q.shape
+    sk = k.shape[1]
+    if kv_len is None:
+        kv_len = sk
+    if scale is None:
+        scale = head_dim ** -0.5
+    use_pallas = (not force_xla) and jax.default_backend() == "tpu"
+    use_rope = cos is not None
+    if use_rope:
+        cos = jnp.asarray(cos, jnp.float32)[:sq]
+        sin = jnp.asarray(sin, jnp.float32)[:sq]
+    else:
+        cos = sin = jnp.zeros((1, max(1, head_dim // 2)), jnp.float32)
+    return _flash_core_flat(
+        q, k, v, cos, sin, int(kv_len), float(scale), use_pallas, use_rope, head_dim
+    )
 
 
 def flash_attention_with_lse(q, k, v, kv_len=None, scale=None, force_xla=False):
@@ -289,61 +640,15 @@ def flash_attention_with_lse(q, k, v, kv_len=None, scale=None, force_xla=False):
     return out[:, :, :sq], lse[:, :, :sq]
 
 
-def _flash_core_bwd(kv_len, scale, use_pallas, res, g):
-    q, k, v, out, lse = res
-    b, n, sq, d = q.shape
-    sk = k.shape[2]
-    _, block_k = _choose_blocks(sq, sk, d)
-    sk_p = _ceil_to(sk, block_k)
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else k
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else v
-    dq, dk, dv = _flash_bwd_xla(q, kp, vp, out, lse, g, kv_len, scale, block_k)
-    return dq, dk[:, :, :sk], dv[:, :, :sk]
-
-
-_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
-
-
-def flash_attention(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    kv_len: Optional[int] = None,
-    scale: Optional[float] = None,
-    force_xla: bool = False,
-) -> jax.Array:
-    """Full (non-causal) attention. q: (B, Sq, N, D); k, v: (B, Sk, N, D).
-
-    kv_len masks keys at positions >= kv_len (defaults to Sk); use it when the
-    caller pre-pads the key sequence. Returns (B, Sq, N, D) in q.dtype.
-    """
-    assert q.ndim == 4 and k.ndim == 4 and v.ndim == 4
-    b, sq, n, d = q.shape
-    sk = k.shape[1]
-    if kv_len is None:
-        kv_len = sk
-    if scale is None:
-        scale = d ** -0.5
-    use_pallas = (not force_xla) and jax.default_backend() == "tpu"
-
-    qt = jnp.swapaxes(q, 1, 2)  # (B, N, S, D)
-    kt = jnp.swapaxes(k, 1, 2)
-    vt = jnp.swapaxes(v, 1, 2)
-    out = _flash_core(qt, kt, vt, int(kv_len), float(scale), use_pallas)
-    return jnp.swapaxes(out, 1, 2)
-
-
 def attention_bnsd(
     q: jax.Array, k: jax.Array, v: jax.Array,
     kv_len: Optional[int] = None, scale: Optional[float] = None,
     force_xla: bool = False,
 ) -> jax.Array:
-    """Same op with (B, N, S, D) layout (no transposes)."""
-    b, n, sq, d = q.shape
-    sk = k.shape[2]
-    if kv_len is None:
-        kv_len = sk
-    if scale is None:
-        scale = d ** -0.5
-    use_pallas = (not force_xla) and jax.default_backend() == "tpu"
-    return _flash_core(q, k, v, int(kv_len), float(scale), use_pallas)
+    """Same op with (B, N, S, D) layout."""
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    return jnp.swapaxes(
+        flash_attention(qt, kt, vt, kv_len=kv_len, scale=scale, force_xla=force_xla), 1, 2
+    )
