@@ -161,8 +161,17 @@ def main():
     vae_params, vae_cfg = mm.fetch_model("wan_video_vae")
     clip_entry = mm.fetch_model("wan_video_image_encoder")
 
+    # mesh per --training_strategy (the TPU analog of the reference's
+    # deepspeed_stage flag, train_svi.py:156-161): batch shards over 'data',
+    # the DiT forward runs sequence-parallel over 'sp'. None on one device.
+    from svi_tpu.parallel.mesh import make_training_mesh
+
+    mesh = make_training_mesh(args.training_strategy)
+    if mesh is not None:
+        print(f"training mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
+
     tc = trainer_config_from_args(args)
-    trainer = ErrorRecyclingTrainer(dit_params, dit_cfg, tc)
+    trainer = ErrorRecyclingTrainer(dit_params, dit_cfg, tc, mesh=mesh)
     if args.pretrained_lora_path:
         trainer.load_lora_safetensors(args.pretrained_lora_path)
 
@@ -181,43 +190,55 @@ def main():
     print(f"dataset: {len(ds)} videos")
     rng = random.Random(args.seed)
 
+    # one jitted VAE encode reused every step (single (T,H,W) shape per run)
+    vae_encode = jax.jit(lambda p, v: wan_vae.encode(p, vae_cfg, v))
+
+    # micro-batch: one sample per 'data' shard (per-device batch 1, like the
+    # reference's per-GPU batch size 1)
+    batch_b = mesh.shape["data"] if mesh is not None else 1
+
+    def encode_sample(item):
+        # prompt -> T5 (frozen)
+        ctx = np.asarray(prompter.encode_prompt(item["text"]), np.float32)
+        # video -> latents (fp32 VAE, jitted)
+        video = item["video"][None]  # (1, 3, T, H, W)
+        latents = np.asarray(vae_encode(vae_params, jnp.asarray(video)), np.float32)
+
+        # motion-frame curriculum (ref :1013-1031)
+        first_ref_frames = item["first_ref_frames"]
+        if args.num_motion_frames > 1:
+            if rng.random() < args.p_motion_threshold:
+                cond_frames = first_ref_frames[: args.num_motion_frames]
+            elif args.repeat_first_frame:
+                cond_frames = [first_ref_frames[0]] * args.num_motion_frames
+            else:
+                cond_frames = first_ref_frames[:1]
+        else:
+            cond_frames = first_ref_frames[:1]
+
+        image_emb = enc_pipe.encode_images_adaptive(
+            cond_frames, item["random_ref_frame"], args.num_frames,
+            args.height, args.width, use_first_aug=args.use_first_aug,
+            ref_pad_cfg=args.ref_pad_cfg, ref_pad_num=args.ref_pad_num,
+        )
+        y = np.asarray(image_emb["y"], np.float32)
+        clip_feat = np.asarray(image_emb["clip_feature"], np.float32)
+        return latents, ctx, y, clip_feat
+
     step = 0
     max_steps = args.max_steps if args.max_steps > 0 else args.max_epochs * len(ds)
     t_start = time.time()
+    pending = []
     for epoch in range(args.max_epochs):
         order = list(range(len(ds)))
         rng.shuffle(order)
         for idx in order:
-            item = ds[idx]
-            # prompt -> T5 (frozen)
-            ctx = np.asarray(prompter.encode_prompt(item["text"]), np.float32)
-            # video -> latents (fp32 VAE)
-            video = item["video"][None]  # (1, 3, T, H, W)
-            latents = np.asarray(wan_vae.encode(vae_params, vae_cfg, jnp.asarray(video)), np.float32)
-
-            # motion-frame curriculum (ref :1013-1031)
-            first_ref_frames = item["first_ref_frames"]
-            n_cond = 1
-            if args.num_motion_frames > 1:
-                if rng.random() < args.p_motion_threshold:
-                    n_cond = args.num_motion_frames
-                    cond_frames = first_ref_frames[:n_cond]
-                elif args.repeat_first_frame:
-                    n_cond = args.num_motion_frames
-                    cond_frames = [first_ref_frames[0]] * n_cond
-                else:
-                    cond_frames = first_ref_frames[:1]
-            else:
-                cond_frames = first_ref_frames[:1]
-
-            image_emb = enc_pipe.encode_images_adaptive(
-                cond_frames, item["random_ref_frame"], args.num_frames,
-                args.height, args.width, use_first_aug=args.use_first_aug,
-                ref_pad_cfg=args.ref_pad_cfg, ref_pad_num=args.ref_pad_num,
-            )
-            y = np.asarray(image_emb["y"], np.float32)
-            clip_feat = np.asarray(image_emb["clip_feature"], np.float32)
-
+            pending.append(encode_sample(ds[idx]))
+            if len(pending) < batch_b:
+                continue
+            latents, ctx, y, clip_feat = (np.concatenate(parts, axis=0)
+                                          for parts in zip(*pending))
+            pending = []
             metrics = trainer.training_step(latents, ctx, y=y, clip_feature=clip_feat)
             step += 1
             if step % 10 == 0 or step == 1:

@@ -55,7 +55,12 @@ def main():
     tc.pose_drop_prob1 = args.pose_drop_prob1
     tc.pose_drop_prob2 = args.pose_drop_prob2
     tc.cond_drop_prob = args.cond_drop_prob
-    trainer = ErrorRecyclingTrainer(dit_params, dit_cfg, tc)
+    from svi_tpu.parallel.mesh import make_training_mesh
+
+    mesh = make_training_mesh(args.training_strategy)
+    if mesh is not None:
+        print(f"training mesh: {dict(mesh.shape)}")
+    trainer = ErrorRecyclingTrainer(dit_params, dit_cfg, tc, mesh=mesh)
     if args.pretrained_lora_path:
         trainer.load_lora_safetensors(args.pretrained_lora_path)
     if args.pretrained_pose_path:
@@ -75,27 +80,40 @@ def main():
     )
     print(f"dance dataset: {len(ds)} samples")
     rng = random.Random(args.seed)
+    import jax
+
+    vae_encode = jax.jit(lambda p_, v: wan_vae.encode(p_, vae_cfg, v))
+    batch_b = mesh.shape["data"] if mesh is not None else 1
     step = 0
     max_steps = args.max_steps if args.max_steps > 0 else args.max_epochs * max(len(ds), 1)
     t_start = time.time()
+    pending = []
     for epoch in range(args.max_epochs):
         order = list(range(len(ds)))
         rng.shuffle(order)
         for idx in order:
             item = ds[idx]
             ctx = np.asarray(prompter.encode_prompt(item["text"]), np.float32)
-            latents = np.asarray(
-                wan_vae.encode(vae_params, vae_cfg, jnp.asarray(item["video"][None])), np.float32
-            )
+            latents = np.asarray(vae_encode(vae_params, jnp.asarray(item["video"][None])), np.float32)
             image_emb = enc_pipe.encode_images_adaptive(
                 item["first_ref_frames"][:1], item["random_ref_frame"], args.num_frames,
                 args.height, args.width, ref_pad_num=args.ref_pad_num,
             )
+            pending.append((
+                latents,
+                ctx,
+                np.asarray(image_emb["y"], np.float32),
+                np.asarray(image_emb["clip_feature"], np.float32),
+                np.asarray(item["dwpose_data"][None], np.float32),
+            ))
+            if len(pending) < batch_b:
+                continue
+            lat_b, ctx_b, y_b, clip_b, pose_b = (
+                np.concatenate(parts, axis=0) for parts in zip(*pending)
+            )
+            pending = []
             metrics = trainer.training_step(
-                latents, ctx,
-                y=np.asarray(image_emb["y"], np.float32),
-                clip_feature=np.asarray(image_emb["clip_feature"], np.float32),
-                pose=item["dwpose_data"][None],
+                lat_b, ctx_b, y=y_b, clip_feature=clip_b, pose=pose_b,
             )
             step += 1
             if step % 10 == 0 or step == 1:

@@ -53,7 +53,12 @@ def main():
 
     tc = trainer_config_from_args(args)
     tc.audio_drop_prob = args.audio_drop_prob
-    trainer = ErrorRecyclingTrainer(dit_params, dit_cfg, tc)
+    from svi_tpu.parallel.mesh import make_training_mesh
+
+    mesh = make_training_mesh(args.training_strategy)
+    if mesh is not None:
+        print(f"training mesh: {dict(mesh.shape)}")
+    trainer = ErrorRecyclingTrainer(dit_params, dit_cfg, tc, mesh=mesh)
     if args.pretrained_lora_path:
         trainer.load_lora_safetensors(args.pretrained_lora_path)
 
@@ -68,27 +73,42 @@ def main():
     )
     print(f"talk dataset: {len(ds)} samples")
     rng = random.Random(args.seed)
+    import jax
+
+    vae_encode = jax.jit(lambda p_, v: wan_vae.encode(p_, vae_cfg, v))
+    batch_b = mesh.shape["data"] if mesh is not None else 1
     step = 0
     max_steps = args.max_steps if args.max_steps > 0 else args.max_epochs * max(len(ds), 1)
     t_start = time.time()
+    pending = []
     for epoch in range(args.max_epochs):
         order = list(range(len(ds)))
         rng.shuffle(order)
         for idx in order:
             item = ds[idx]
             ctx = np.asarray(prompter.encode_prompt(item["text"]), np.float32)
-            latents = np.asarray(
-                wan_vae.encode(vae_params, vae_cfg, jnp.asarray(item["video"][None])), np.float32
-            )
+            latents = np.asarray(vae_encode(vae_params, jnp.asarray(item["video"][None])), np.float32)
             image_emb = enc_pipe.encode_images_adaptive(
                 item["first_ref_frames"][:1], item["random_ref_frame"], args.num_frames,
                 args.height, args.width, ref_pad_num=args.ref_pad_num,
             )
+            pending.append((
+                latents,
+                ctx,
+                np.asarray(image_emb["y"], np.float32),
+                np.asarray(image_emb["clip_feature"], np.float32),
+                np.asarray(item["audio_first"], np.float32),
+                np.asarray(item["audio_vf"], np.float32),
+            ))
+            if len(pending) < batch_b:
+                continue
+            lat_b, ctx_b, y_b, clip_b, af_b, av_b = (
+                np.concatenate(parts, axis=0) for parts in zip(*pending)
+            )
+            pending = []
             metrics = trainer.training_step(
-                latents, ctx,
-                y=np.asarray(image_emb["y"], np.float32),
-                clip_feature=np.asarray(image_emb["clip_feature"], np.float32),
-                audio_tuple=(item["audio_first"], item["audio_vf"]) if dit_cfg.enable_multitalk else None,
+                lat_b, ctx_b, y=y_b, clip_feature=clip_b,
+                audio_tuple=(af_b, av_b) if dit_cfg.enable_multitalk else None,
             )
             step += 1
             if step % 10 == 0 or step == 1:

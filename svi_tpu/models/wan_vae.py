@@ -75,15 +75,19 @@ def _conv3d(p, x, strides=(1, 1, 1), spatial_pad=None):
     kt, kh, kw = p["w"].shape[:3]
     if spatial_pad is None:
         spatial_pad = (kh // 2, kw // 2)
+    # weights follow the streaming dtype; accumulation is always f32 (the
+    # mixed-precision safeguard against the reference's bf16-VAE artifact
+    # accumulation, FAQ.md:27 — storage bf16, math f32)
     y = jax.lax.conv_general_dilated(
-        x, p["w"],
+        x, p["w"].astype(x.dtype),
         window_strides=strides,
         padding=[(0, 0), (spatial_pad[0], spatial_pad[0]), (spatial_pad[1], spatial_pad[1])],
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
     )
     if "b" in p:
-        y = y + p["b"]
-    return y
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 def causal_conv3d(p, x, cache, strides=(1, 1, 1)):
@@ -103,12 +107,13 @@ def causal_conv3d(p, x, cache, strides=(1, 1, 1)):
 
 def _conv2d(p, x, strides=(1, 1), padding="SAME"):
     y = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=strides, padding=padding,
+        x, p["w"].astype(x.dtype), window_strides=strides, padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
     )
     if "b" in p:
-        y = y + p["b"]
-    return y
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 def _per_frame(fn, x):
@@ -322,7 +327,9 @@ def _run_plan(plan, params, x, caches, first):
         elif kind == "attn":
             x = attention_block(p, x)
         elif kind == "head":
-            x = jax.nn.silu(_rms_norm_video(p["norm"], x))
+            # head conv always in f32: the decoder emits 8-bit RGB whose step
+            # (1/255) is below bf16 resolution at 1.0
+            x = jax.nn.silu(_rms_norm_video(p["norm"], x)).astype(jnp.float32)
             x, caches[idx] = causal_conv3d(p["conv"], x, caches[idx])
             idx += 1
         else:
@@ -364,17 +371,24 @@ def _latent_scale(cfg, mean, std):
         mean = LATENT_MEAN if cfg.z_dim == 16 else np.zeros(cfg.z_dim, np.float32)
     if std is None:
         std = LATENT_STD if cfg.z_dim == 16 else np.ones(cfg.z_dim, np.float32)
-    return jnp.asarray(mean, cfg.dtype), jnp.asarray(std, cfg.dtype)
+    return jnp.asarray(mean, jnp.float32), jnp.asarray(std, jnp.float32)
 
 
-def encode(params, cfg: WanVAEConfig, video: jax.Array, mean=None, std=None) -> jax.Array:
+def encode(params, cfg: WanVAEConfig, video: jax.Array, mean=None, std=None,
+           compute_dtype=None) -> jax.Array:
     """video: (b, 3, T, H, W) in [-1, 1], T = 1 + 4k -> latents (b, 16, t, h, w),
-    normalized by LATENT_MEAN/STD (ref VideoVAE_.encode :525-550)."""
+    normalized by LATENT_MEAN/STD (ref VideoVAE_.encode :525-550).
+
+    compute_dtype (default cfg.dtype = f32) sets the streaming precision of
+    the conv stack. bf16 halves HBM traffic; all conv accumulation, norm
+    statistics, the head conv and the latent normalization stay f32
+    (mixed precision, gated by test_wan_vae.py's PSNR check)."""
+    cdt = compute_dtype or cfg.dtype
     b, _, T, H, W = video.shape
     assert T % 4 == 1, f"encoder expects 1+4k frames, got {T}"
-    x = jnp.moveaxis(video.astype(cfg.dtype), 1, -1)  # (b,T,H,W,3)
+    x = jnp.moveaxis(video.astype(cdt), 1, -1)  # (b,T,H,W,3)
     plan = encoder_plan(cfg)
-    caches = init_caches(plan, cfg, b, H, W, dtype=cfg.dtype)
+    caches = init_caches(plan, cfg, b, H, W, dtype=cdt)
 
     out0, caches = _run_plan(plan, params["encoder"], x[:, :1], caches, first=True)
 
@@ -400,17 +414,19 @@ def encode(params, cfg: WanVAEConfig, video: jax.Array, mean=None, std=None) -> 
     return jnp.moveaxis(mu, -1, 1)  # (b, z, t, h, w)
 
 
-def decode(params, cfg: WanVAEConfig, latents: jax.Array, mean=None, std=None, clamp=True) -> jax.Array:
+def decode(params, cfg: WanVAEConfig, latents: jax.Array, mean=None, std=None, clamp=True,
+           compute_dtype=None) -> jax.Array:
     """latents (b, 16, t, h, w) -> video (b, 3, 4t-3, 8h, 8w), clamped [-1,1]
-    (ref VideoVAE_.decode :552-575)."""
+    (ref VideoVAE_.decode :552-575). compute_dtype: see encode."""
+    cdt = compute_dtype or cfg.dtype
     b, z, t, h, w = latents.shape
-    x = jnp.moveaxis(latents.astype(cfg.dtype), 1, -1)
+    x = jnp.moveaxis(latents.astype(jnp.float32), 1, -1)
     lm, ls = _latent_scale(cfg, mean, std)
     x = x * ls + lm
-    x = _conv3d(params["conv2"], x)
+    x = _conv3d(params["conv2"], x).astype(cdt)
 
     plan = decoder_plan(cfg)
-    caches = init_caches(plan, cfg, b, h, w, decoder=True, dtype=cfg.dtype)
+    caches = init_caches(plan, cfg, b, h, w, decoder=True, dtype=cdt)
 
     out0, caches = _run_plan(plan, params["decoder"], x[:, :1], caches, first=True)
 
@@ -469,7 +485,8 @@ def _tile_tasks(H, W, size, stride):
     return tasks
 
 
-def tiled_encode(params, cfg, video, tile_size=(272, 272), tile_stride=(144, 128), mean=None, std=None):
+def tiled_encode(params, cfg, video, tile_size=(272, 272), tile_stride=(144, 128), mean=None, std=None,
+                 compute_dtype=None):
     """Spatially tiled encode with feathered blending (ref :695-744).
     tile_size/stride in PIXELS (the reference passes latent units *8)."""
     b, _, T, H, W = video.shape
@@ -481,7 +498,8 @@ def tiled_encode(params, cfg, video, tile_size=(272, 272), tile_stride=(144, 128
         h_ = min(h_, H)
         w_ = min(w_, W)
         tile = video[:, :, :, hh:h_, ww:w_]
-        lat = encode(params, cfg, tile, mean=mean, std=std).astype(jnp.float32)
+        lat = encode(params, cfg, tile, mean=mean, std=std,
+                     compute_dtype=compute_dtype).astype(jnp.float32)
         mask = build_mask(
             lat.shape[-2:],
             is_bound=(hh == 0, h_ >= H, ww == 0, w_ >= W),
@@ -493,7 +511,8 @@ def tiled_encode(params, cfg, video, tile_size=(272, 272), tile_stride=(144, 128
     return values / weight
 
 
-def tiled_decode(params, cfg, latents, tile_size=(34, 34), tile_stride=(18, 16), mean=None, std=None):
+def tiled_decode(params, cfg, latents, tile_size=(34, 34), tile_stride=(18, 16), mean=None, std=None,
+                 compute_dtype=None):
     """Spatially tiled decode (ref :643-692). tile_size/stride in LATENT units."""
     b, _, T, h, w = latents.shape
     up = 8
@@ -504,7 +523,8 @@ def tiled_decode(params, cfg, latents, tile_size=(34, 34), tile_stride=(18, 16),
         h_ = min(h_, h)
         w_ = min(w_, w)
         tile = latents[:, :, :, hh:h_, ww:w_]
-        vid = decode(params, cfg, tile, mean=mean, std=std, clamp=False).astype(jnp.float32)
+        vid = decode(params, cfg, tile, mean=mean, std=std, clamp=False,
+                     compute_dtype=compute_dtype).astype(jnp.float32)
         mask = build_mask(
             vid.shape[-2:],
             is_bound=(hh == 0, h_ >= h, ww == 0, w_ >= w),

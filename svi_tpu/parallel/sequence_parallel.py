@@ -87,9 +87,33 @@ def _self_attention_sp(p, cfg, x, cos_l, sin_l, kv_len, axis, lora, lora_scale, 
     return _dense_lora(p["o"], o, _l(lora, "o"), lora_scale)
 
 
+def _audio_attn_sp(p, cfg, x_local, audio_embed, num_frames, kv_len, axis):
+    """Per-frame audio cross-attention under sequence sharding.
+
+    The per-frame token grouping (ref attention.py:282-372 rearranges
+    `B (N_t S) C -> (B N_t) S C`) needs frame-aligned token blocks, but SP
+    shards are arbitrary contiguous slices — so tokens are all-gathered over
+    ICI (one (b,S,d) gather; the audio attn itself is tiny vs self-attn),
+    the exact single-device per-frame attention runs on the true sequence,
+    and each shard keeps its own slice of the output. The reference's SP
+    analog is the block-diagonal xformers mask (attention.py:348-356).
+    """
+    from ..models.wan_dit import _audio_cross_attention
+
+    shard = x_local.shape[1]
+    x_full = jax.lax.all_gather(x_local, axis, axis=1, tiled=True)  # (b, S_pad, d)
+    o_full = _audio_cross_attention(p, cfg, x_full[:, :kv_len], audio_embed, num_frames)
+    s_pad = x_full.shape[1]
+    if s_pad != kv_len:
+        o_full = jnp.pad(o_full, ((0, 0), (0, s_pad - kv_len), (0, 0)))
+    i = jax.lax.axis_index(axis)
+    return jax.lax.dynamic_slice_in_dim(o_full, i * shard, shard, axis=1)
+
+
 def _dit_block_sp(p, cfg, x, context, t_mod, cos_l, sin_l, kv_len, axis, lora, lora_scale,
-                  num_img_tokens=257, ring=False):
-    from ..models.wan_dit import _cross_attention, _dense_lora, _l
+                  num_img_tokens=257, ring=False, audio_embed=None, num_frames=0,
+                  add_condition=None):
+    from ..models.wan_dit import _cross_attention, _dense, _dense_lora, _l
 
     mod = p["modulation"].astype(t_mod.dtype) + t_mod
     shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
@@ -100,11 +124,39 @@ def _dit_block_sp(p, cfg, x, context, t_mod, cos_l, sin_l, kv_len, axis, lora, l
         p["self_attn"], cfg, input_x, cos_l, sin_l, kv_len, axis,
         _l(lora, "self_attn"), lora_scale, ring=ring,
     )
+    if cfg.enable_customtalk and audio_embed is not None:
+        # customtalk (wan_video_dit_talk.py:358-383): bottleneck FFNs gate the
+        # context/audio attention inputs; the audio-attn output becomes the
+        # next block's add_condition carry. All pre-FFNs are feature-dim
+        # (shard-local); only the per-frame audio attn needs the SP gather.
+        def _pre_ffn(fp, v):
+            return _dense(fp["2"], gelu_tanh(_dense(fp["0"], v)))
+
+        cond_in = add_condition if add_condition is not None else x
+        x_in_ctx = x + _pre_ffn(p["customtalk_context_pre_ffns"], layer_norm(cond_in, eps=cfg.eps))
+        x_c = _cross_attention(
+            p["cross_attn"], cfg,
+            layer_norm(x_in_ctx, p["norm3"]["w"], p["norm3"]["b"], eps=cfg.eps), context,
+            num_img_tokens=num_img_tokens, lora=_l(lora, "cross_attn"), lora_scale=lora_scale,
+        )
+        x = x + x_c
+        x_in_audio = x + _pre_ffn(p["customtalk_audio_pre_ffns"], layer_norm(x_c, eps=cfg.eps))
+        xa = layer_norm(x_in_audio, p["norm_x"]["w"], p["norm_x"]["b"], eps=cfg.eps)
+        x_a = _audio_attn_sp(p["audio_cross_attn"], cfg, xa, audio_embed, num_frames, kv_len, axis)
+        x = x + x_a
+        input_x = modulate(layer_norm(x, eps=1e-6), shift_mlp, scale_mlp)
+        ffn_lora = _l(lora, "ffn")
+        h = gelu_tanh(_dense_lora(p["ffn"]["0"], input_x, _l(ffn_lora, "0"), lora_scale))
+        ffn = _dense_lora(p["ffn"]["2"], h, _l(ffn_lora, "2"), lora_scale)
+        return x + gate_mlp * ffn, x_a
     x = x + _cross_attention(
         p["cross_attn"], cfg,
         layer_norm(x, p["norm3"]["w"], p["norm3"]["b"], eps=cfg.eps), context,
         num_img_tokens=num_img_tokens, lora=_l(lora, "cross_attn"), lora_scale=lora_scale,
     )
+    if cfg.enable_multitalk and audio_embed is not None:
+        xa = layer_norm(x, p["norm_x"]["w"], p["norm_x"]["b"], eps=cfg.eps)
+        x = x + _audio_attn_sp(p["audio_cross_attn"], cfg, xa, audio_embed, num_frames, kv_len, axis)
     input_x = modulate(layer_norm(x, eps=1e-6), shift_mlp, scale_mlp)
     ffn_lora = _l(lora, "ffn")
     h = gelu_tanh(_dense_lora(p["ffn"]["0"], input_x, _l(ffn_lora, "0"), lora_scale))
@@ -127,9 +179,12 @@ def forward_sp(
     lora_scale: float = 1.0,
     use_remat: bool = False,
     ring: bool = False,
+    audio_embed_tuple=None,
 ) -> jax.Array:
     """Sequence-parallel equivalent of wan_dit.forward. Call under jit with
-    `mesh`'s axes ('data', 'sp'); batch shards over 'data'."""
+    `mesh`'s axes ('data', 'sp'); batch shards over 'data'. Supports the
+    multitalk/customtalk audio branches (SVI-Talk, ref svi_video_talk.py
+    :83-155): audio_embed_tuple as in wan_dit.forward."""
     n_sp = mesh.shape["sp"]
     n_img = clip_feature.shape[1] if (cfg.has_image_input and clip_feature is not None) else 257
     tokens, ctx, t, t_mod, grid = wan_dit.forward_prelude(
@@ -143,28 +198,57 @@ def forward_sp(
     cos = jnp.asarray(np.pad(cos, ((0, S_pad - S), (0, 0))))
     sin = jnp.asarray(np.pad(sin, ((0, S_pad - S), (0, 0))))
 
+    audio_embed = None
+    if (cfg.enable_multitalk or cfg.enable_customtalk) and audio_embed_tuple is not None:
+        # AudioProjModel is tiny — runs replicated, outside the shard_map
+        audio_embed = wan_dit.audio_proj_forward(
+            params, cfg, audio_embed_tuple[0], audio_embed_tuple[1]
+        )
+    customtalk_carry = cfg.enable_customtalk and audio_embed is not None
+    cond0 = None
+    if customtalk_carry:
+        cond0 = (add_condition.astype(tokens.dtype) if add_condition is not None
+                 else jnp.zeros((b, S, d), tokens.dtype))
+        if S_pad != S:
+            cond0 = jnp.pad(cond0, ((0, 0), (0, S_pad - S), (0, 0)))
+    audio_in = audio_embed if audio_embed is not None else jnp.zeros((0,), cfg.dtype)
+    cond_in = cond0 if cond0 is not None else jnp.zeros((0,), cfg.dtype)
+
     lora_in = lora if lora is not None else {}
     tok_spec = P("data", "sp", None)
     rep = P()
     dspec = P("data")
 
-    def run(blocks, tok, ctx_, t_mod_, t_, cos_f, sin_f, lora_):
+    def run(blocks, tok, ctx_, t_mod_, t_, cos_f, sin_f, lora_, audio_, cond_):
         shard = tok.shape[1]
         i = jax.lax.axis_index("sp")
         cos_l = jax.lax.dynamic_slice_in_dim(cos_f, i * shard, shard)
         sin_l = jax.lax.dynamic_slice_in_dim(sin_f, i * shard, shard)
         lora_ = lora_ or None
+        audio_ = audio_ if audio_embed is not None else None
 
-        def block_fn(tk, bp, lbp):
+        def block_fn(tk, bp, lbp, cond=None):
             return _dit_block_sp(
                 bp, cfg, tk, ctx_, t_mod_, cos_l, sin_l, S, "sp", lbp, lora_scale,
-                num_img_tokens=n_img, ring=ring,
+                num_img_tokens=n_img, ring=ring, audio_embed=audio_,
+                num_frames=grid[0], add_condition=cond,
             )
 
         if use_remat:
             block_fn = jax.checkpoint(block_fn)
 
-        if lora_ is None:
+        if customtalk_carry:
+            def ct_body(carry, xs):
+                tk, cond = carry
+                if lora_ is None:
+                    tk, cond = block_fn(tk, xs, None, cond)
+                else:
+                    tk, cond = block_fn(tk, xs[0], xs[1], cond)
+                return (tk, cond), None
+
+            xs = blocks if lora_ is None else (blocks, lora_)
+            (tok, _), _ = jax.lax.scan(ct_body, (tok, cond_), xs)
+        elif lora_ is None:
             def scan_body(tk, bp):
                 return block_fn(tk, bp, None), None
 
@@ -181,10 +265,13 @@ def forward_sp(
     run_sharded = shard_map(
         run,
         mesh=mesh,
-        in_specs=(rep, tok_spec, dspec, dspec, dspec, rep, rep, rep),
+        in_specs=(rep, tok_spec, dspec, dspec, dspec, rep, rep, rep,
+                  dspec if audio_embed is not None else rep,
+                  tok_spec if customtalk_carry else rep),
         out_specs=tok_spec,
         check_vma=False,
     )
-    out = run_sharded(params["blocks"], tokens, ctx, t_mod, t, cos, sin, lora_in)
+    out = run_sharded(params["blocks"], tokens, ctx, t_mod, t, cos, sin, lora_in,
+                      audio_in, cond_in)
     out = out[:, :S]
     return wan_dit.unpatchify(params, cfg, out, grid)

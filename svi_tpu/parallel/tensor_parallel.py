@@ -91,31 +91,85 @@ def _cross_attention_tp(p, cfg, x, ctx, n_local, num_img_tokens, axis):
     return _dense_row(p["o"], o.reshape(b, s, n_local * hd), axis)
 
 
-def _dit_block_tp(p, cfg, x, context, t_mod, cos, sin, n_local, num_img_tokens, axis):
+def _audio_cross_attention_tp(p, cfg, x, audio, num_frames, n_local, axis):
+    """Per-frame audio cross attention, head-parallel (wan_dit.
+    _audio_cross_attention with q/k/v column-sharded by head and the output
+    projection row-parallel; per-frame grouping is token-local, so the only
+    collective is the proj psum). Uses the SPLIT k_linear/v_linear produced by
+    shard_dit_params_tp (the fused kv_linear out-layout (2, n, hd) cannot be
+    head-sharded with a flat PartitionSpec)."""
+    b, S, d = x.shape
+    f = num_frames
+    s = S // f
+    hd = cfg.head_dim
+    xf = x.reshape(b * f, s, d)
+    q = _dense(p["q_linear"], xf).reshape(b * f, s, n_local, hd)
+    na = audio.shape[2]
+    a = audio.reshape(b * f, na, -1).astype(x.dtype)
+    k = _dense(p["k_linear"], a).reshape(b * f, na, n_local, hd)
+    v = _dense(p["v_linear"], a).reshape(b * f, na, n_local, hd)
+    logits = jnp.einsum("bsnd,bknd->bnsk", q.astype(jnp.float32), k.astype(jnp.float32))
+    logits = logits * (hd ** -0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bnsk,bknd->bsnd", probs, v).reshape(b * f, s, n_local * hd)
+    return _dense_row(p["proj"], o.reshape(b, S, n_local * hd), axis)
+
+
+def _dit_block_tp(p, cfg, x, context, t_mod, cos, sin, n_local, num_img_tokens, axis,
+                  audio_embed=None, num_frames=0, add_condition=None):
     mod = p["modulation"].astype(t_mod.dtype) + t_mod
     shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
         mod[:, i][:, None, :] for i in range(6)
     ]
     input_x = modulate(layer_norm(x, eps=1e-6), shift_msa, scale_msa)
     x = x + gate_msa * _self_attention_tp(p["self_attn"], cfg, input_x, cos, sin, n_local, axis)
+    if cfg.enable_customtalk and audio_embed is not None:
+        # customtalk pre-FFNs are tiny bottlenecks (d->128->d) — replicated
+        def _pre_ffn(fp, v):
+            return _dense(fp["2"], gelu_tanh(_dense(fp["0"], v)))
+
+        cond_in = add_condition if add_condition is not None else x
+        x_in_ctx = x + _pre_ffn(p["customtalk_context_pre_ffns"], layer_norm(cond_in, eps=cfg.eps))
+        x_c = _cross_attention_tp(
+            p["cross_attn"], cfg,
+            layer_norm(x_in_ctx, p["norm3"]["w"], p["norm3"]["b"], eps=cfg.eps), context,
+            n_local, num_img_tokens, axis,
+        )
+        x = x + x_c
+        x_in_audio = x + _pre_ffn(p["customtalk_audio_pre_ffns"], layer_norm(x_c, eps=cfg.eps))
+        xa = layer_norm(x_in_audio, p["norm_x"]["w"], p["norm_x"]["b"], eps=cfg.eps)
+        x_a = _audio_cross_attention_tp(p["audio_cross_attn"], cfg, xa, audio_embed,
+                                        num_frames, n_local, axis)
+        x = x + x_a
+        input_x = modulate(layer_norm(x, eps=1e-6), shift_mlp, scale_mlp)
+        h = gelu_tanh(_dense(p["ffn"]["0"], input_x))
+        ffn = _dense_row(p["ffn"]["2"], h, axis)
+        return x + gate_mlp * ffn, x_a
     x = x + _cross_attention_tp(
         p["cross_attn"], cfg,
         layer_norm(x, p["norm3"]["w"], p["norm3"]["b"], eps=cfg.eps), context,
         n_local, num_img_tokens, axis,
     )
+    if cfg.enable_multitalk and audio_embed is not None:
+        xa = layer_norm(x, p["norm_x"]["w"], p["norm_x"]["b"], eps=cfg.eps)
+        x = x + _audio_cross_attention_tp(p["audio_cross_attn"], cfg, xa, audio_embed,
+                                          num_frames, n_local, axis)
     input_x = modulate(layer_norm(x, eps=1e-6), shift_mlp, scale_mlp)
     h = gelu_tanh(_dense(p["ffn"]["0"], input_x))
     ffn = _dense_row(p["ffn"]["2"], h, axis)
     return x + gate_mlp * ffn
 
 
-def block_param_specs(has_image_input: bool) -> dict:
+def block_param_specs(has_image_input: bool, multitalk: bool = False,
+                      customtalk: bool = False) -> dict:
     """PartitionSpecs for the STACKED per-block params (leading layer axis).
 
     column-parallel (out sharded): q/k/v, ffn.0 — w (L, in, out) -> shard axis 2,
       b (L, out) -> shard axis 1; their full-dim q/k norms slice the same way.
     row-parallel (in sharded): o, ffn.2 — w (L, in, out) -> shard axis 1,
       b replicated.
+    audio_cross_attn (multitalk/customtalk): q/k/v column-parallel by head
+      (kv_linear pre-split by split_audio_kv), proj row-parallel.
     """
     col_w = P(None, None, AXIS)
     col_b = P(None, AXIS)
@@ -136,20 +190,50 @@ def block_param_specs(has_image_input: bool) -> dict:
         cross["k_img"] = col()
         cross["v_img"] = col()
         cross["norm_k_img"] = {"w": col_b}
-    return {
+    specs = {
         "self_attn": attn,
         "cross_attn": cross,
         "norm3": {"w": rep, "b": rep},
         "ffn": {"0": col(), "2": {"w": row_w, "b": rep}},
         "modulation": rep,
     }
+    if multitalk or customtalk:
+        specs["audio_cross_attn"] = {
+            "q_linear": col(),
+            "k_linear": col(),
+            "v_linear": col(),
+            "proj": {"w": row_w, "b": rep},
+        }
+        specs["norm_x"] = {"w": rep, "b": rep}
+    if customtalk:
+        pre = {"0": {"w": rep, "b": rep}, "2": {"w": rep, "b": rep}}
+        specs["customtalk_context_pre_ffns"] = pre
+        specs["customtalk_audio_pre_ffns"] = pre
+    return specs
+
+
+def split_audio_kv(blocks: dict) -> dict:
+    """Split the fused audio kv_linear (out layout (2, n, hd), wan_dit.
+    _audio_cross_attention) into separate k_linear/v_linear so the out axis
+    can be head-sharded."""
+    if "audio_cross_attn" not in blocks:
+        return blocks
+    blocks = dict(blocks)
+    aca = dict(blocks["audio_cross_attn"])
+    kv = aca.pop("kv_linear")
+    d = kv["w"].shape[-1] // 2
+    aca["k_linear"] = {"w": kv["w"][..., :d], "b": kv["b"][..., :d]}
+    aca["v_linear"] = {"w": kv["w"][..., d:], "b": kv["b"][..., d:]}
+    blocks["audio_cross_attn"] = aca
+    return blocks
 
 
 def shard_dit_params_tp(params: dict, cfg, mesh: Mesh) -> dict:
     """Place the DiT params with TP shardings (blocks sharded over AXIS,
     everything else replicated) — each chip then holds ~1/n of the blocks'
     weights, which is where ~99% of the parameters live."""
-    specs = block_param_specs(cfg.has_image_input)
+    specs = block_param_specs(cfg.has_image_input, cfg.enable_multitalk,
+                              cfg.enable_customtalk)
     rep = NamedSharding(mesh, P())
 
     def place(path_spec, leaf):
@@ -158,7 +242,7 @@ def shard_dit_params_tp(params: dict, cfg, mesh: Mesh) -> dict:
     out = {}
     for k, v in params.items():
         if k == "blocks":
-            out[k] = jax.tree.map(place, specs, v)
+            out[k] = jax.tree.map(place, specs, split_audio_kv(v))
         else:
             out[k] = jax.tree.map(lambda x: jax.device_put(x, rep), v)
     return out
@@ -175,9 +259,12 @@ def forward_tp(
     add_condition: Optional[jax.Array] = None,
     *,
     mesh: Mesh,
+    audio_embed_tuple=None,
 ) -> jax.Array:
     """Tensor-parallel equivalent of wan_dit.forward (inference). Requires
-    cfg.num_heads and cfg.ffn_dim divisible by the AXIS size."""
+    cfg.num_heads and cfg.ffn_dim divisible by the AXIS size. Supports the
+    multitalk/customtalk audio branches (the 14B multitalk DiT is exactly the
+    model that needs TP to fit — ref test_svi_talk.py:156-172)."""
     n_tp = mesh.shape[AXIS]
     assert cfg.num_heads % n_tp == 0, f"{cfg.num_heads} heads over {n_tp} chips"
     assert cfg.ffn_dim % n_tp == 0
@@ -191,25 +278,54 @@ def forward_tp(
     cos = jnp.asarray(cos)
     sin = jnp.asarray(sin)
 
-    specs = block_param_specs(cfg.has_image_input)
+    audio_embed = None
+    if (cfg.enable_multitalk or cfg.enable_customtalk) and audio_embed_tuple is not None:
+        audio_embed = wan_dit.audio_proj_forward(
+            params, cfg, audio_embed_tuple[0], audio_embed_tuple[1]
+        )
+    customtalk_carry = cfg.enable_customtalk and audio_embed is not None
+    b, S, d = tokens.shape
+    cond0 = (add_condition.astype(tokens.dtype) if add_condition is not None
+             else jnp.zeros((b, S, d), tokens.dtype)) if customtalk_carry else jnp.zeros((0,), cfg.dtype)
+    audio_in = audio_embed if audio_embed is not None else jnp.zeros((0,), cfg.dtype)
+
+    specs = block_param_specs(cfg.has_image_input, cfg.enable_multitalk,
+                              cfg.enable_customtalk)
     rep = P()
     dspec = P("data")
 
-    def run(blocks, tok, ctx_, t_mod_, cos_f, sin_f):
-        def scan_body(tk, bp):
-            return _dit_block_tp(
-                bp, cfg, tk, ctx_, t_mod_, cos_f, sin_f, n_local, n_img, AXIS
-            ), None
+    def run(blocks, tok, ctx_, t_mod_, cos_f, sin_f, audio_, cond_):
+        audio_ = audio_ if audio_embed is not None else None
 
-        tok, _ = jax.lax.scan(scan_body, tok, blocks)
+        def block_fn(tk, bp, cond=None):
+            return _dit_block_tp(
+                bp, cfg, tk, ctx_, t_mod_, cos_f, sin_f, n_local, n_img, AXIS,
+                audio_embed=audio_, num_frames=grid[0], add_condition=cond,
+            )
+
+        if customtalk_carry:
+            def ct_body(carry, bp):
+                tk, cond = carry
+                tk, cond = block_fn(tk, bp, cond)
+                return (tk, cond), None
+
+            (tok, _), _ = jax.lax.scan(ct_body, (tok, cond_), blocks)
+        else:
+            def scan_body(tk, bp):
+                return block_fn(tk, bp), None
+
+            tok, _ = jax.lax.scan(scan_body, tok, blocks)
         return tok
 
     run_sharded = shard_map(
         run,
         mesh=mesh,
-        in_specs=(specs, dspec, dspec, dspec, rep, rep),
+        in_specs=(specs, dspec, dspec, dspec, rep, rep,
+                  dspec if audio_embed is not None else rep,
+                  dspec if customtalk_carry else rep),
         out_specs=dspec,
         check_vma=False,
     )
-    tokens = run_sharded(params["blocks"], tokens, ctx, t_mod, cos, sin)
+    tokens = run_sharded(params["blocks"], tokens, ctx, t_mod, cos, sin,
+                         audio_in, cond0)
     return wan_dit.forward_head(params, cfg, tokens, t, grid)

@@ -121,6 +121,10 @@ class SVIVideoPipeline:
         self.sp_mesh = None
         self.height_division_factor = 16
         self.width_division_factor = 16
+        # streaming precision of the VAE conv stacks: f32 matches the
+        # reference exactly; bf16 halves HBM traffic with f32 accumulation /
+        # norms / head (PSNR-gated in tests/test_wan_vae.py)
+        self.vae_dtype = jnp.float32
         self._jit_cache = {}
 
     # -- construction ---------------------------------------------------------
@@ -234,11 +238,12 @@ class SVIVideoPipeline:
             else:
                 raise ValueError(f"ref_pad_num must be set (got {ref_pad_num})")
             vae_input = jnp.concatenate([cond_d, pad], axis=1)[None]
-            y_lat = wan_vae.encode(p, vae_cfg, vae_input)
+            y_lat = wan_vae.encode(p, vae_cfg, vae_input, compute_dtype=self.vae_dtype)
             return jnp.concatenate([msk_d[None], y_lat.astype(jnp.float32)], axis=1)
 
         y = self._jit(
-            ("vae_encode_cond", num_condition_frames, int(ref_pad_num), num_frames, height, width),
+            ("vae_encode_cond", num_condition_frames, int(ref_pad_num), num_frames,
+             height, width, str(self.vae_dtype)),
             build_and_encode,
         )(vae_params, jnp.asarray(cond, jnp.float32), jnp.asarray(ref_frame, jnp.float32),
           jnp.asarray(msk))
@@ -257,17 +262,25 @@ class SVIVideoPipeline:
                 vae_params, vae_cfg, v,
                 tile_size=(tile_size[0] * 8, tile_size[1] * 8),
                 tile_stride=(tile_stride[0] * 8, tile_stride[1] * 8),
+                compute_dtype=self.vae_dtype,
             )
         else:
-            lat = self._jit("vae_encode", lambda p, x: wan_vae.encode(p, vae_cfg, x))(vae_params, v)
+            lat = self._jit(
+                ("vae_encode", str(self.vae_dtype)),
+                lambda p, x: wan_vae.encode(p, vae_cfg, x, compute_dtype=self.vae_dtype),
+            )(vae_params, v)
         return lat.astype(self.dtype)
 
     def decode_video(self, latents, tiled=True, tile_size=(34, 34), tile_stride=(18, 16)):
         vae_params, vae_cfg = self.vae
         z = jnp.asarray(latents, jnp.float32)
         if tiled:
-            return wan_vae.tiled_decode(vae_params, vae_cfg, z, tile_size=tile_size, tile_stride=tile_stride)
-        return self._jit("vae_decode", lambda p, x: wan_vae.decode(p, vae_cfg, x))(vae_params, z)
+            return wan_vae.tiled_decode(vae_params, vae_cfg, z, tile_size=tile_size,
+                                        tile_stride=tile_stride, compute_dtype=self.vae_dtype)
+        return self._jit(
+            ("vae_decode", str(self.vae_dtype)),
+            lambda p, x: wan_vae.decode(p, vae_cfg, x, compute_dtype=self.vae_dtype),
+        )(vae_params, z)
 
     # -- denoising --------------------------------------------------------------
 
@@ -583,10 +596,11 @@ class SVIVideoPipeline:
             vae_params, vae_cfg = self.vae
 
             def dec_u8(p, z):
-                v = wan_vae.decode(p, vae_cfg, jnp.asarray(z, jnp.float32))
+                v = wan_vae.decode(p, vae_cfg, jnp.asarray(z, jnp.float32),
+                                   compute_dtype=self.vae_dtype)
                 return jnp.clip((v + 1) * 127.5, 0, 255).astype(jnp.uint8)
 
-            frames_u8 = self._jit("vae_decode_u8", dec_u8)(vae_params, latents)
+            frames_u8 = self._jit(("vae_decode_u8", str(self.vae_dtype)), dec_u8)(vae_params, latents)
         frames = base.frames_from_uint8(np.asarray(frames_u8[0]))
         if return_latents:
             return frames, latents

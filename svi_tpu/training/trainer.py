@@ -119,6 +119,7 @@ def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=T
                 base_params, dit_cfg, noisy, timestep, context,
                 clip_feature=clip_feature, y=y, add_condition=add_condition,
                 mesh=mesh, lora=lora, lora_scale=lora_scale, use_remat=use_remat,
+                audio_embed_tuple=audio_embed_tuple,
             )
         return wan_dit.forward(
             base_params, dit_cfg, noisy, timestep, context,
@@ -343,7 +344,8 @@ class ErrorRecyclingTrainer:
         }
         if c.train_pose:
             batch["pose"] = None if pose is None else jnp.asarray(np.asarray(pose, np.float32))
-            batch["pose_keep"] = jnp.full((1,), pose_keep, jnp.float32)
+            # (b,1,1) so the 'data'-axis sharding of batch leaves applies
+            batch["pose_keep"] = jnp.full((b, 1, 1), pose_keep, jnp.float32)
         if audio_tuple is not None:
             batch["audio_first"] = jnp.asarray(np.asarray(audio_tuple[0], np.float32), self.dit_cfg.dtype)
             batch["audio_vf"] = jnp.asarray(np.asarray(audio_tuple[1], np.float32), self.dit_cfg.dtype)

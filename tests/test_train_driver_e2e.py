@@ -42,6 +42,9 @@ def test_train_driver_end_to_end(tmp_path, monkeypatch):
         "--ref_pad_num", "-1",
         "--noise_prob", "1.0", "--y_prob", "1.0", "--latent_prob", "1.0",
         "--clean_prob", "0.0",
+        # 2x4 mesh on the virtual 8-CPU topology: the sharded train step
+        # (batch over 'data', DiT forward sequence-parallel over 'sp')
+        "--training_strategy", "dataxsp",
     ]
     monkeypatch.setattr(sys, "argv", argv)
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
@@ -105,6 +108,7 @@ def test_train_talk_driver_end_to_end(tmp_path, monkeypatch):
         "--max_steps", "2", "--save_every_n_steps", "2",
         "--height", "48", "--width", "48", "--num_frames", "9",
         "--ref_pad_num", "-1", "--audio_drop_prob", "0.0",
+        "--training_strategy", "sp",
     ]
     monkeypatch.setattr(sys, "argv", argv)
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
@@ -151,6 +155,7 @@ def test_train_dance_driver_end_to_end(tmp_path, monkeypatch):
         "--height", "48", "--width", "48", "--num_frames", "5",
         "--ref_pad_num", "-1",
         "--pose_drop_prob1", "0.0", "--pose_drop_prob2", "0.0", "--cond_drop_prob", "0.0",
+        "--training_strategy", "sp",
     ]
     monkeypatch.setattr(sys, "argv", argv)
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))

@@ -122,3 +122,40 @@ def test_wan_full_vae_shapes():
     assert lat.shape == (1, 16, 2, 8, 8)
     out = wan_vae.decode(params, wan_vae.WAN_VAE, lat)
     assert out.shape == (1, 3, 5, 64, 64)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(4.0 / max(mse, 1e-12))  # signal range [-1, 1] -> peak 2
+
+
+def test_mixed_precision_decode_psnr_gate():
+    """bf16-interior decode (f32 accumulation/norms/head) must stay within
+    PSNR > 40 dB of the f32 reference path — the gate for vae_dtype=bf16
+    (reference FAQ.md:27 warns full-bf16 VAE accumulates artifacts; our bf16
+    is storage-only, so the fidelity bar is strict)."""
+    _, params, mean, std, _ = build_pair(10)
+    rng = np.random.default_rng(11)
+    lat = rng.standard_normal((1, Z, 3, 8, 8)).astype(np.float32)
+    f32 = np.asarray(wan_vae.decode(params, CFG, jnp.asarray(lat), mean=mean, std=std))
+    bf16 = np.asarray(
+        wan_vae.decode(params, CFG, jnp.asarray(lat), mean=mean, std=std,
+                       compute_dtype=jnp.bfloat16)
+    )
+    assert bf16.dtype == np.float32  # head + clamp stay f32
+    psnr = _psnr(bf16, f32)
+    assert psnr > 40.0, f"bf16 decode PSNR {psnr:.1f} dB < 40"
+
+
+def test_mixed_precision_encode_close():
+    """bf16-interior encode stays close to f32 latents (relative scale)."""
+    _, params, mean, std, _ = build_pair(12)
+    rng = np.random.default_rng(13)
+    video = rng.standard_normal((1, 3, 9, 32, 32)).astype(np.float32) * 0.5
+    f32 = np.asarray(wan_vae.encode(params, CFG, jnp.asarray(video), mean=mean, std=std))
+    bf16 = np.asarray(
+        wan_vae.encode(params, CFG, jnp.asarray(video), mean=mean, std=std,
+                       compute_dtype=jnp.bfloat16)
+    )
+    scale = np.abs(f32).max()
+    assert np.abs(bf16 - f32).max() < 0.05 * scale
