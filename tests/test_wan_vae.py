@@ -159,3 +159,25 @@ def test_mixed_precision_encode_close():
     )
     scale = np.abs(f32).max()
     assert np.abs(bf16 - f32).max() < 0.05 * scale
+
+
+def test_time_chunked_decode_encode_match_framewise():
+    """Temporal chunking (time_chunk>1) is bit-equivalent to the reference's
+    per-frame/4-frame streaming — causal conv caches make the windows
+    identical."""
+    _, params, mean, std, _ = build_pair(14)
+    rng = np.random.default_rng(15)
+    lat = rng.standard_normal((1, Z, 5, 8, 8)).astype(np.float32)
+    ref = np.asarray(wan_vae.decode(params, CFG, jnp.asarray(lat), mean=mean, std=std,
+                                    time_chunk=1))
+    for c in (2, 4):
+        out = np.asarray(wan_vae.decode(params, CFG, jnp.asarray(lat), mean=mean, std=std,
+                                        time_chunk=c))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+    video = rng.standard_normal((1, 3, 17, 32, 32)).astype(np.float32) * 0.5
+    ref_e = np.asarray(wan_vae.encode(params, CFG, jnp.asarray(video), mean=mean, std=std,
+                                      time_chunk=1))
+    for c in (2, 4):
+        out = np.asarray(wan_vae.encode(params, CFG, jnp.asarray(video), mean=mean, std=std,
+                                        time_chunk=c))
+        np.testing.assert_allclose(out, ref_e, rtol=1e-5, atol=1e-6)
