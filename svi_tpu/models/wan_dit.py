@@ -412,6 +412,80 @@ def _audio_cross_attention(p: Params, cfg: WanDiTConfig, x, audio, num_frames: i
     return o.reshape(b, S, d)
 
 
+def single_stream_multi_attention(
+    p: Params,
+    cfg: WanDiTConfig,
+    x: jax.Array,
+    audio: jax.Array,
+    num_frames: int,
+    x_ref_attn_map: Optional[jax.Array] = None,
+    human_num: int = 1,
+    class_range: int = 24,
+    class_interval: int = 4,
+) -> jax.Array:
+    """SingleStreamMutiAttention (ref diffsynth/models/attention.py:373-484):
+    multi-speaker per-frame audio cross attention with 1-D RoPE class labels.
+
+    x: (b, N_t*S, dim); audio: (b, N_t, N_a, 768) where the N_a audio tokens
+    are the speakers' windows concatenated (first half speaker 1, second half
+    speaker 2); x_ref_attn_map: (num_classes, N_t*S) per-token speaker
+    affinities from utils.multitalk.get_attn_map_with_target. human_num == 1
+    falls back to the plain per-frame path (ref :415-416) — which is all the
+    SVI pipelines ever invoke (wan_video_dit.py:365).
+    """
+    if human_num == 1 or x_ref_attn_map is None:
+        return _audio_cross_attention(p, cfg, x, audio, num_frames)
+
+    from ..utils.multitalk import normalize_and_scale, rope_1d
+
+    b, S_total, d = x.shape
+    f = num_frames
+    s = S_total // f
+    n, hd = cfg.num_heads, cfg.head_dim
+    rope_h1 = (0, class_interval)
+    rope_h2 = (class_range - class_interval, class_range)
+    rope_bak = class_range // 2
+
+    xf = x.reshape(b * f, s, d)
+    q = _dense(p["q_linear"], xf).reshape(b * f, s, n, hd)
+
+    # per-token 1-D rope positions from the speaker affinity map (ref :431-443)
+    m = x_ref_attn_map.astype(jnp.float32)
+    human1 = normalize_and_scale(m[0], (m[0].min(), m[0].max()), rope_h1)
+    human2 = normalize_and_scale(m[1], (m[1].min(), m[1].max()), rope_h2)
+    back = jnp.full((S_total,), float(rope_bak), jnp.float32)
+    normalized_map = jnp.stack([human1, human2, back], axis=1)  # (S_total, 3)
+    max_indices = jnp.argmax(m, axis=0)  # (S_total,)
+    pos = jnp.take_along_axis(normalized_map, max_indices[:, None], axis=1)[:, 0]
+
+    qr = q.reshape(b, f * s, n, hd).transpose(0, 2, 1, 3)  # (b, H, N_t*S, hd)
+    qr = rope_1d(qr, pos)
+    q = qr.transpose(0, 2, 1, 3).reshape(b * f, s, n, hd)
+
+    na = audio.shape[2]
+    kv = _dense(p["kv_linear"], audio.reshape(b * f, na, -1).astype(x.dtype))
+    k, v = jnp.split(kv.reshape(b * f, na, 2, n, hd), 2, axis=2)
+    k, v = k[:, :, 0], v[:, :, 0]
+
+    # speaker class labels on the audio keys: first half of the tokens carry
+    # speaker 1's class center, second half speaker 2's (ref :459-465)
+    per_frame = jnp.concatenate([
+        jnp.full((na // 2,), (rope_h1[0] + rope_h1[1]) / 2, jnp.float32),
+        jnp.full((na - na // 2,), (rope_h2[0] + rope_h2[1]) / 2, jnp.float32),
+    ])
+    enc_pos = jnp.tile(per_frame, f)
+    kr = k.reshape(b, f * na, n, hd).transpose(0, 2, 1, 3)
+    kr = rope_1d(kr, enc_pos)
+    k = kr.transpose(0, 2, 1, 3).reshape(b * f, na, n, hd)
+
+    logits = jnp.einsum("bsnd,bknd->bnsk", q.astype(jnp.float32), k.astype(jnp.float32))
+    logits = logits * (hd ** -0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bnsk,bknd->bsnd", probs, v).reshape(b * f, s, d)
+    o = _dense(p["proj"], o)
+    return o.reshape(b, S_total, d)
+
+
 def time_inputs(params: Params, cfg: WanDiTConfig, timestep: jax.Array, dtype):
     """t embedding (b, d) and t_mod (b, 6, d) (wan_video_dit.py:499-501)."""
     emb = sinusoidal_embedding_1d(cfg.freq_dim, timestep).astype(dtype)
