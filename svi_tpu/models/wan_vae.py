@@ -431,11 +431,13 @@ def encode(params, cfg: WanVAEConfig, video: jax.Array, mean=None, std=None,
 
 
 def decode(params, cfg: WanVAEConfig, latents: jax.Array, mean=None, std=None, clamp=True,
-           compute_dtype=None, time_chunk: int = 2) -> jax.Array:
+           compute_dtype=None, time_chunk: int = 1) -> jax.Array:
     """latents (b, 16, t, h, w) -> video (b, 3, 4t-3, 8h, 8w), clamped [-1,1]
     (ref VideoVAE_.decode :552-575). compute_dtype / time_chunk: see encode
-    (decode chunks are in LATENT frames; memory grows with chunk at full
-    output resolution, so the default is smaller than encode's)."""
+    (decode chunks are in LATENT frames). Default 1: at 480p the decoder is
+    already MXU-saturated at one latent frame per step — measured on v5e,
+    chunk 2 is ~19% SLOWER (worse layouts at full output res) and chunk 4
+    OOMs; the knob exists for smaller resolutions."""
     cdt = compute_dtype or cfg.dtype
     b, z, t, h, w = latents.shape
     x = jnp.moveaxis(latents.astype(jnp.float32), 1, -1)

@@ -20,11 +20,55 @@ def check_resize_height_width(height: int, width: int, factor: int = 16):
     return height, width
 
 
-def preprocess_image(image) -> np.ndarray:
+def preprocess_image(image, use_aug: bool = False, rng=None) -> np.ndarray:
     """PIL.Image (or HWC uint8 array) -> (1, 3, H, W) float32 in [-1, 1]
-    (ref base.py:44-48)."""
+    (ref base.py:44-48). use_aug applies the train-time first-frame
+    augmentation (ref base.py:30-42)."""
+    if use_aug:
+        image = apply_augmentation(image, rng=rng)
     arr = np.array(image, dtype=np.float32) * (2 / 255) - 1
     return arr.transpose(2, 0, 1)[None]
+
+
+def apply_augmentation(image, rng=None):
+    """Train-time condition-frame augmentation (ref base.py:30-42):
+    ColorJitter(brightness/contrast/saturation 0.3, hue 0.1) w.p. 0.7,
+    GaussianBlur(kernel 3, sigma U[0.1,2]) w.p. 0.5, sharpness 2x w.p. 0.5 —
+    teaching the model to tolerate drifted motion-frame statistics. PIL-domain
+    host preprocessing (not a device op); returns a PIL image.
+    """
+    from PIL import Image, ImageEnhance, ImageFilter
+
+    rng = rng or np.random.default_rng()
+    if isinstance(image, np.ndarray):
+        image = Image.fromarray(image.astype(np.uint8))
+
+    if rng.random() < 0.7:
+        # torchvision ColorJitter applies the four jitters in random order
+        ops = [
+            ("brightness", lambda im, f: ImageEnhance.Brightness(im).enhance(f),
+             1 + rng.uniform(-0.3, 0.3)),
+            ("contrast", lambda im, f: ImageEnhance.Contrast(im).enhance(f),
+             1 + rng.uniform(-0.3, 0.3)),
+            ("saturation", lambda im, f: ImageEnhance.Color(im).enhance(f),
+             1 + rng.uniform(-0.3, 0.3)),
+            ("hue", None, rng.uniform(-0.1, 0.1)),
+        ]
+        order = rng.permutation(4)
+        for i in order:
+            name, fn, factor = ops[i]
+            if name == "hue":
+                hsv = np.array(image.convert("HSV"), dtype=np.int16)
+                hsv[..., 0] = (hsv[..., 0] + int(factor * 255)) % 256
+                image = Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
+            else:
+                image = fn(image, factor)
+    if rng.random() < 0.5:
+        sigma = rng.uniform(0.1, 2.0)  # torchvision GaussianBlur sigma range
+        image = image.filter(ImageFilter.GaussianBlur(radius=sigma))
+    if rng.random() < 0.5:
+        image = ImageEnhance.Sharpness(image).enhance(2.0)
+    return image
 
 
 def generate_noise(shape, seed=None, dtype=np.float32) -> np.ndarray:

@@ -192,13 +192,13 @@ class SVIVideoPipeline:
         num_condition_frames = len(first_frames)
         remaining = num_frames - num_condition_frames
 
-        def prep(img):
+        def prep(img, aug=False):
             if isinstance(img, np.ndarray):
                 img = Image.fromarray(img)
-            return base.preprocess_image(img.resize((width, height)))  # (1,3,H,W)
+            return base.preprocess_image(img.resize((width, height)), use_aug=aug)  # (1,3,H,W)
 
         ref_frame = prep(random_ref_frame)
-        first = prep(first_frames[0])
+        first = prep(first_frames[0])  # CLIP input is never augmented (ref :326)
         clip_params, clip_cfg = self.image_encoder
         clip_context = self._jit(
             "clip_encode",
@@ -218,8 +218,12 @@ class SVIVideoPipeline:
 
         # VAE input: condition frames ‖ padding (ref :329-349). The padded
         # 81-frame fp32 video is ~390MB — building it ON DEVICE from the few
-        # real frames avoids a multi-second host->device transfer.
-        cond = np.concatenate([prep(f) for f in first_frames], axis=0)  # (n,3,H,W)
+        # real frames avoids a multi-second host->device transfer. Train-time
+        # first-frame augmentation applies HERE (ref :331-334): the VAE
+        # condition frames only, never the CLIP input or the anchor frame.
+        cond = np.concatenate(
+            [prep(f, aug=use_first_aug) for f in first_frames], axis=0
+        )  # (n,3,H,W)
         cond = np.transpose(cond, (1, 0, 2, 3))  # (3, n, H, W)
         vae_params, vae_cfg = self.vae
 

@@ -270,3 +270,28 @@ def test_gradio_demo_core_generator(tmp_path):
     from svi_tpu.utils.video import load_video_frames
 
     assert len(load_video_frames(path)) == NF + NF - 1  # shot mode: 1 motion frame
+
+
+def test_use_first_aug_changes_vae_condition_only():
+    """use_first_aug (ref base.py:30-42) is real: the augmented path changes
+    the VAE condition pixels; the default path is bit-identical across calls;
+    the CLIP input is never augmented (ref svi_video.py:326 vs :331-334)."""
+    import numpy as np
+    from PIL import Image
+
+    from svi_tpu.pipelines import base
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+
+    a = base.preprocess_image(img)
+    b = base.preprocess_image(img)
+    np.testing.assert_array_equal(a, b)  # default path: bit-identical
+
+    changed = False
+    for seed in range(5):  # augmentation is stochastic; some draw must differ
+        aug = base.preprocess_image(img, use_aug=True, rng=np.random.default_rng(seed))
+        assert aug.shape == a.shape
+        if not np.array_equal(aug, a):
+            changed = True
+    assert changed, "augmentation never changed the image"
