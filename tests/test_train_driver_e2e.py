@@ -11,9 +11,8 @@ from test_driver_e2e import Z, synth_tokenizer, synth_weights
 
 
 def test_train_driver_end_to_end(tmp_path, monkeypatch):
-    toy = "/root/reference/data/toy_train/svi-film-shot"
-    if not os.path.isdir(toy):
-        pytest.skip("reference toy_train not present")
+    toy = os.path.join(os.path.dirname(__file__), "..", "data", "toy_train", "svi-film-shot")
+    assert os.path.isdir(toy), "repo toy data missing — run scripts/make_toy_data.py"
 
     root = str(tmp_path / "weights")
     os.makedirs(root)
@@ -69,9 +68,8 @@ def test_train_driver_end_to_end(tmp_path, monkeypatch):
 
 
 def test_train_talk_driver_end_to_end(tmp_path, monkeypatch):
-    toy = "/root/reference/data/toy_train/svi-talk/preprocessed"
-    if not os.path.isdir(toy):
-        pytest.skip("reference toy_train talk not present")
+    toy = os.path.join(os.path.dirname(__file__), "..", "data", "toy_train", "svi-talk")
+    assert os.path.isdir(toy), "repo toy data missing — run scripts/make_toy_data.py"
 
     import torch
     from reference_loader import load_ref_module

@@ -189,12 +189,11 @@ def test_injection_applies_when_buffers_full():
     assert np.all(y2[:, :4] == 0)  # mask channels untouched
 
 
-def test_dataset_on_reference_toy_train():
+def test_dataset_on_toy_train():
     import os
 
-    base = "/root/reference/data/toy_train/svi-film-shot"
-    if not os.path.isdir(base):
-        return
+    base = os.path.join(os.path.dirname(__file__), "..", "data", "toy_train", "svi-film-shot")
+    assert os.path.isdir(base), "repo toy data missing — run scripts/make_toy_data.py"
     from svi_tpu.training.dataset import TextVideoDataset
 
     ds = TextVideoDataset(base, max_num_frames=9, height=64, width=112, seed=0)
@@ -297,12 +296,11 @@ def test_talk_training_step_audio():
     assert np.isfinite(m["loss"])
 
 
-def test_talk_dataset_on_reference_toy():
+def test_talk_dataset_on_toy_train():
     import os
 
-    base = "/root/reference/data/toy_train/svi-talk/preprocessed"
-    if not os.path.isdir(base):
-        return
+    base = os.path.join(os.path.dirname(__file__), "..", "data", "toy_train", "svi-talk")
+    assert os.path.isdir(base), "repo toy data missing — run scripts/make_toy_data.py"
     from svi_tpu.training.dataset import TalkVideoDataset
 
     ds = TalkVideoDataset(base, max_num_frames=9, height=64, width=64, seed=0)

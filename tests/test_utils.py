@@ -15,10 +15,9 @@ def test_load_prompts_python_literal(tmp_path):
     assert load_prompts_from_file(str(p)) == ["a cat", "a dog, running"]
 
 
-def test_load_prompts_reference_toyfile():
-    path = "/root/reference/data/toy_test/film/prompt.txt"
-    if not os.path.exists(path):
-        return
+def test_load_prompts_toyfile():
+    path = os.path.join(os.path.dirname(__file__), "..", "data", "toy_test", "film", "prompt.txt")
+    assert os.path.exists(path), "repo toy data missing — run scripts/make_toy_data.py"
     prompts = load_prompts_from_file(path)
     assert len(prompts) >= 1 and all(isinstance(x, str) for x in prompts)
 
