@@ -446,6 +446,28 @@ def _flash_core_flat_fwd(q, k, v, cos, sin, kv_len, scale, use_pallas, use_rope,
     block_q, block_k = _choose_blocks(sq, sk, head_dim)
     sq_p, sk_p = _ceil_to(sq, block_q), _ceil_to(sk, block_k)
 
+    # the flat layout addresses each head as a lane block, which mosaic
+    # requires to be a multiple of 128 lanes (or the whole array) — head dims
+    # like CLIP's 80 route through the legacy (B,N,S,D) kernel instead
+    flat_ok = head_dim % 128 == 0 or n == 1
+    if use_pallas and not flat_ok:
+        q4 = q.reshape(b, sq, n, head_dim)
+        k4 = k.reshape(b, sk, n, head_dim)
+        v4 = v.reshape(b, sk, n, head_dim)
+        if use_rope:
+            q4 = _apply_rope_xla(q4, cos, sin)
+            k4 = _apply_rope_xla(k4, cos, sin)
+        qt = jnp.swapaxes(q4, 1, 2)
+        kt = jnp.swapaxes(k4, 1, 2)
+        vt = jnp.swapaxes(v4, 1, 2)
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0))) if sq_p != sq else qt
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else kt
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else vt
+        out_t, lse = _flash_fwd_pallas(qt, kt, vt, kv_len, scale, block_q, block_k)
+        out = jnp.swapaxes(out_t[:, :, :sq], 1, 2).reshape(b, sq, nd)
+        lse = lse[:, :, :sq]
+        return out, (q, k, v, cos, sin, out, lse)
+
     if use_pallas:
         qp = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0))) if sq_p != sq else q
         kp = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else k
