@@ -51,6 +51,8 @@ def main():
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     dit_params = wan_dit.init_params(k1, dit_cfg)
+    import jax as _jax
+    n_params = sum(x.size for x in _jax.tree.leaves(dit_params))
     vae_cfg = wan_vae.WAN_VAE
     vae_params = wan_vae.init_params(k2, vae_cfg)
     clip_cfg = clip_vision.VIT_H_14
@@ -249,7 +251,6 @@ def main():
     min_per_min_video = clip_seconds * clips_per_min_video / 60
 
     # --- A100-80G estimate for the same workload ---
-    n_params = sum(x.size for x in jax.tree.leaves(dit_params))
     S = LT * (H // 16) * (W // 16)
     flops_fwd = 2 * n_params * S + dit_cfg.num_layers * 4 * S * S * dit_cfg.dim
     total_flops = STEPS * 2 * flops_fwd  # CFG pair

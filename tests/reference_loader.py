@@ -95,8 +95,13 @@ def _ensure_stubs():
         tvt.Compose = _Compose
         tvt.Resize = _T
         tvt.ToTensor = _T
+        tvt.ToPILImage = _T
         tvt.Normalize = _Normalize
         tvt.InterpolationMode = _InterpolationMode
+        tvt.GaussianBlur = _T
+        tvt.ColorJitter = _T
+        tvt.RandomApply = _T
+        tvt.RandomAdjustSharpness = _T
         tv.transforms = tvt
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tvt
@@ -143,6 +148,35 @@ def load_reference_package():
         mod = types.ModuleType(f"diffsynth.{sub}")
         mod.__path__ = [f"{REF}/diffsynth/{sub}"]
         sys.modules[f"diffsynth.{sub}"] = mod
+
+    # Names the SVI pipeline module imports from package roots whose real
+    # implementations drag in the whole zoo (model_manager imports every
+    # model family; prompters need ftfy). The pipeline only *references*
+    # them unless those features are exercised.
+    class _StubModelManager:  # diffsynth/models/__init__ re-export
+        def __init__(self, *a, **k):
+            raise NotImplementedError("stub ModelManager (reference_loader)")
+
+    sys.modules["diffsynth.models"].ModelManager = _StubModelManager
+
+    class _StubWanPrompter:
+        def __init__(self, tokenizer_path=None):
+            self.tokenizer_path = tokenizer_path
+
+        def fetch_models(self, *a, **k):
+            pass
+
+    sys.modules["diffsynth.prompters"].WanPrompter = _StubWanPrompter
+
+    vm = types.ModuleType("diffsynth.vram_management")
+
+    def _enable_vram_management(*a, **k):
+        raise NotImplementedError("stub vram_management (reference_loader)")
+
+    vm.enable_vram_management = _enable_vram_management
+    vm.AutoWrappedModule = object
+    vm.AutoWrappedLinear = object
+    sys.modules["diffsynth.vram_management"] = vm
     return pkg
 
 
