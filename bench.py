@@ -176,7 +176,10 @@ def main():
             "y": image_emb["y"][:1],
         }
         t0 = time.perf_counter()
-        trainable, opt_state, m = step_train(trainable, opt_state, dit_params, tbatch)
+        try:
+            trainable, opt_state, m = step_train(trainable, opt_state, dit_params, tbatch)
+        except Exception:  # the axon remote-compile helper 500s transiently
+            trainable, opt_state, m = step_train(trainable, opt_state, dit_params, tbatch)
         _ = float(m["loss"])
         t_train_compile = time.perf_counter() - t0
         t0 = time.perf_counter()
@@ -206,13 +209,17 @@ def main():
         pipe14 = SVIVideoPipeline(torch_dtype=jnp.bfloat16)
         pipe14.dit = (params14, cfg14)
         pipe14.scheduler.set_timesteps(STEPS, shift=5.0)
-        step14 = pipe14._denoise_step_fn()
+        # b=1 no-CFG forward, timed x2 per step: the batched-CFG b=2 step's
+        # activations (~5GB at 32k tokens, dim 5120) don't fit next to the
+        # 8.3GB int4 weights on one chip; two sequential forwards match the
+        # reference's memory-constrained deployment behavior
+        step14 = pipe14._denoise_step_nocfg_fn()
         lat14 = jnp.asarray(rng.standard_normal((1, 16, LT, H // 8, W // 8)), jnp.bfloat16)
 
         def one_step14(lat, i):
             return step14(
                 params14, lat, jnp.asarray([timesteps[i]]), sigmas[i], sigmas[i + 1],
-                ctx2, image_emb["clip_feature"], image_emb["y"], np.float32(5.0), None,
+                ctx_pos, image_emb["clip_feature"], image_emb["y"], None,
             )
 
         t0 = time.perf_counter()
@@ -223,7 +230,7 @@ def main():
         for i in range(1, 3):
             lat14 = one_step14(lat14, i)
         _ = np.asarray(lat14[0, 0, 0, 0, 0])
-        t14_step = (time.perf_counter() - t0) / 2
+        t14_step = 2 * (time.perf_counter() - t0) / 2  # CFG = 2 forwards/step
 
         clip14 = t_encode + STEPS * t14_step + t_decode
         n14 = sum(
@@ -239,6 +246,7 @@ def main():
             "min_per_1min_video": round(clip14 * (60 * 24) / (NF - 1) / 60, 1),
             "vs_baseline": round(a100_14 / clip14, 3),
             "weights": "packed int4 (8.3GB), group-128 scales",
+            "cfg": "2 sequential b=1 forwards per step (memory-bound)",
             "compile_seconds": round(t14_compile, 1),
         }
     except Exception as ex:

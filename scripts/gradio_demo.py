@@ -80,21 +80,59 @@ class SVIGradioDemo:
             self.pipe.prompter.fetch_tokenizer(tok)
         return f"initialized {cfg['name']}"
 
+    @staticmethod
+    def parse_prompts(prompts_text):
+        """Prompt parsing with the reference's format fallbacks
+        (ref :236-268): python-literal list -> multi-line -> comma-separated
+        -> single prompt."""
+        import ast
+
+        text = (prompts_text or "").strip()
+        if text.startswith("[") and text.endswith("]"):
+            try:
+                parsed = ast.literal_eval(text)
+                if isinstance(parsed, list):
+                    out = [str(p).strip() for p in parsed if str(p).strip()]
+                    if out:
+                        return out
+            except (ValueError, SyntaxError):
+                pass
+        if "\n" in text:
+            return [l.strip() for l in text.split("\n") if l.strip()]
+        if "," in text:
+            return [p.strip() for p in text.split(",") if p.strip()]
+        return [text] if text else []
+
+    def get_demo_content_for_mode(self, mode=None):
+        """Demo image + prompt stream for a mode (ref :76-107), from the
+        repo-owned toy assets."""
+        cfg = MODEL_MODES[mode or self.mode]
+        image = cfg["demo_image"] if os.path.exists(cfg["demo_image"]) else None
+        prompts = ""
+        if os.path.exists(cfg["demo_prompts"]):
+            from svi_tpu.utils.prompt_files import load_prompts_from_file
+
+            prompts = "\n".join(load_prompts_from_file(cfg["demo_prompts"]))
+        return image, prompts
+
     def generate_video(self, input_image, prompts_text, negative_prompt=NEGATIVE,
                        num_clips=3, num_steps=50, cfg_scale_text=5.0, seed=42,
                        num_frames=81):
-        """Yields (status, cumulative_mp4_path) per clip — the streaming
-        preview loop (ref :283-373)."""
+        """Per-clip streaming generation (ref :183-382): yields
+        (status, cumulative_mp4_path) after every clip; each clip also gets
+        its own preview mp4 and every cumulative stage its own file inside a
+        timestamped session dir, plus generation_info.json provenance."""
+        import json
+
         from PIL import Image
 
         from svi_tpu.utils.image_process import calculate_dimensions
-        from svi_tpu.utils.prompt_files import load_prompts_from_file
         from svi_tpu.utils.video import save_video
 
         cfg = MODEL_MODES[self.mode]
         if isinstance(input_image, np.ndarray):
             input_image = Image.fromarray(input_image)
-        prompts = [p.strip() for p in prompts_text.split("\n") if p.strip()] or ["a video"]
+        prompts = self.parse_prompts(prompts_text) or ["a video"]
 
         height, width = calculate_dimensions(input_image, max_width=832)
         ref = input_image.convert("RGB").resize((width, height))
@@ -103,10 +141,12 @@ class SVIGradioDemo:
         motion = [ref] * nmf if nmf > 1 else ref
 
         ts = datetime.now().strftime("%Y%m%d_%H%M%S")
-        os.makedirs(self.output_dir, exist_ok=True)
-        out_path = os.path.join(self.output_dir, f"svi_{self.mode}_{ts}.mp4")
+        session_dir = os.path.join(self.output_dir, f"session_{ts}")
+        os.makedirs(session_dir, exist_ok=True)
+        seed_times = 42 if seed is None else int(seed)
 
         video_list = []
+        cumulative_path = None
         for clip_idx in range(int(num_clips)):
             prompt = (prompts[0] if cfg["use_first_prompt_only"]
                       else prompts[clip_idx % len(prompts)])
@@ -115,17 +155,38 @@ class SVIGradioDemo:
                 input_image=motion, num_frames=num_frames,
                 num_inference_steps=int(num_steps),
                 cfg_scale=dict(text=float(cfg_scale_text)),
-                seed=None if seed is None else int(seed) + clip_idx,
+                seed=clip_idx * seed_times,  # ref :286 / test_svi.py:425-427
                 tiled=False, random_ref_frame=ref_gt,
                 height=height, width=width, ref_pad_num=cfg["ref_pad_num"],
             )
+            # per-clip preview (ref :314-319)
+            preview = os.path.join(session_dir, f"clip_{clip_idx + 1:03d}_preview.mp4")
+            save_video(video, preview, fps=16, quality=8)
             motion = video[-nmf:]
             if clip_idx < num_clips - 1:
                 video_list += video[:-nmf]
             else:
                 video_list += video
-            save_video(video_list, out_path, fps=24, quality=8)
-            yield f"clip {clip_idx + 1}/{num_clips} done ({len(video_list)} frames)", out_path
+            # cumulative stage file (ref :334-339)
+            cumulative_path = os.path.join(
+                session_dir, f"cumulative_clips_1_to_{clip_idx + 1}.mp4"
+            )
+            save_video(video_list, cumulative_path, fps=16, quality=8)
+            yield (f"clip {clip_idx + 1}/{num_clips} done "
+                   f"({len(video_list)} frames)"), cumulative_path
+
+        with open(os.path.join(session_dir, "generation_info.json"), "w") as f:
+            json.dump({
+                "timestamp": ts, "mode": self.mode, "num_clips": int(num_clips),
+                "prompts": prompts, "seed": seed, "num_steps": int(num_steps),
+                "cfg_scale": float(cfg_scale_text),
+                "num_motion_frames": nmf,
+                "video_dimensions": f"{width}x{height}",
+                "cumulative_videos": [
+                    f"cumulative_clips_1_to_{i + 1}.mp4" for i in range(int(num_clips))
+                ],
+            }, f, indent=2)
+        yield f"done — {len(video_list)} frames in {session_dir}", cumulative_path
 
 
 def create_demo(demo: SVIGradioDemo):

@@ -149,3 +149,66 @@ def test_driver_end_to_end(tmp_path, monkeypatch):
     # 2 clips x 5 frames, 1 motion-frame overlap trimmed from the first clip
     assert len(frames) == 5 - 1 + 5
     assert frames[0].shape == (48, 48, 3)
+
+
+def test_gradio_generate_video_streaming(tmp_path):
+    """The gradio demo's UI-free streaming core (ref gradio_demo.py:183-382):
+    per-clip previews, per-stage cumulative mp4s, generation_info.json, and
+    the 4-format prompt parsing."""
+    import json
+    import sys
+
+    import numpy as np
+    from PIL import Image
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import importlib
+
+    gd = importlib.import_module("gradio_demo")
+
+    # prompt parsing formats (ref :236-268)
+    assert gd.SVIGradioDemo.parse_prompts('["a", "b"]') == ["a", "b"]
+    assert gd.SVIGradioDemo.parse_prompts("a\nb") == ["a", "b"]
+    assert gd.SVIGradioDemo.parse_prompts("a, b") == ["a", "b"]
+    assert gd.SVIGradioDemo.parse_prompts("just one") == ["just one"]
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from tests_pipeline_helpers import tiny_pipeline_models
+
+    import jax.numpy as jnp
+
+    from svi_tpu.pipelines.svi_video import SVIVideoPipeline
+
+    (dit, vae, clip) = tiny_pipeline_models(z=4)
+    inner = SVIVideoPipeline(torch_dtype=jnp.float32)
+    inner.dit, inner.vae, inner.image_encoder = dit, vae, clip
+
+    class _Pipe:
+        def __call__(self, prompt, negative_prompt, input_image, num_frames,
+                     num_inference_steps, cfg_scale, seed, tiled,
+                     random_ref_frame, height, width, ref_pad_num):
+            rng = np.random.default_rng(0)
+            ctx = rng.standard_normal((1, 7, 48)).astype(np.float32)
+            return inner(
+                input_image=input_image, random_ref_frame=random_ref_frame,
+                seed=seed, height=height, width=width, num_frames=num_frames,
+                cfg_scale=cfg_scale["text"], num_inference_steps=num_inference_steps,
+                tiled=False, prompt_emb_posi=ctx, prompt_emb_nega=ctx * 0.5,
+                ref_pad_num=ref_pad_num,
+            )
+
+    demo = gd.SVIGradioDemo(dit_root="unused", output_dir=str(tmp_path), mode="shot")
+    demo.pipe = _Pipe()
+    rng = np.random.default_rng(1)
+    img = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    updates = list(demo.generate_video(img, "a scene, another scene", num_clips=2,
+                                       num_steps=2, cfg_scale_text=5.0, seed=3,
+                                       num_frames=5))
+    assert len(updates) == 3  # 2 clips + final
+    session = os.path.dirname(updates[-1][1])
+    files = sorted(os.listdir(session))
+    assert "clip_001_preview.mp4" in files and "clip_002_preview.mp4" in files
+    assert "cumulative_clips_1_to_1.mp4" in files
+    assert "cumulative_clips_1_to_2.mp4" in files
+    info = json.load(open(os.path.join(session, "generation_info.json")))
+    assert info["num_clips"] == 2 and info["prompts"] == ["a scene", "another scene"]
