@@ -149,6 +149,7 @@ def main():
 
     # --- one Error-Recycling LoRA train step (1.3B, rank 128, remat) ---
     train_detail = {}
+    trainable = opt_state = step_train = tbatch = None
     try:
         from svi_tpu.schedulers import flow_match as fm
         from svi_tpu.training import TrainerConfig, lora as lora_mod
@@ -189,9 +190,12 @@ def main():
             "train_step_seconds_1_3B_lora128": round(time.perf_counter() - t0, 3),
             "train_step_compile_seconds": round(t_train_compile, 1),
         }
-        del trainable, opt_state, step_train, tbatch
     except Exception as ex:  # train-step bench must not kill the headline metric
         train_detail = {"train_step_error": f"{type(ex).__name__}: {ex}"[:200]}
+    finally:
+        # free adapter/optimizer buffers before the 14B section even when the
+        # train bench failed (a leaked compile must not eat the 14B's HBM)
+        del trainable, opt_state, step_train, tbatch
 
     # --- 14B flagship, single chip, packed-int4 weights ---
     fl14_detail = {}

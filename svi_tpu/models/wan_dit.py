@@ -922,8 +922,25 @@ def init_params_int4(key, cfg: WanDiTConfig, min_size: int = 1 << 16,
             elif k == "w" and v.size >= min_size and v.shape[-2] % group == 0:
                 cin = v.shape[-2]
                 packed_shape = v.shape[:-2] + (cin // 2, v.shape[-1])
-                bits = jax.random.bits(next(keys), packed_shape, jnp.uint8)
-                out["w_q4"] = jax.lax.bitcast_convert_type(bits, jnp.int8)
+                # pseudo-random bytes via a fused iota hash: jax.random.bits
+                # (threefry) materializes 4-byte temporaries per int8 output —
+                # ~4x the 8.3GB of packed weights, which OOMs the chip during
+                # init. The multiplicative hash fuses straight into the int8
+                # buffer; the values only need to be non-degenerate for
+                # benchmarking.
+                salt = int(jax.random.randint(next(keys), (), 0, 2**31 - 1))
+
+                def _fill(shape=packed_shape, salt=salt):
+                    idx = jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 1)
+                    for d in range(len(shape) - 1):
+                        idx = idx + jax.lax.broadcasted_iota(jnp.uint32, shape, d) * jnp.uint32(
+                            1000003 + 97 * d
+                        )
+                    h = idx * jnp.uint32(2654435761) + jnp.uint32(salt)
+                    byte = jax.lax.shift_right_logical(h, jnp.uint32(8)) & jnp.uint32(0xFF)
+                    return (byte.astype(jnp.int32) - 128).astype(jnp.int8)
+
+                out["w_q4"] = jax.jit(_fill)()
                 scale_shape = v.shape[:-2] + (cin // group, v.shape[-1])
                 out["scale_q4"] = jnp.full(scale_shape, weight_scale / 7.0, jnp.float32)
             elif k == "b":

@@ -193,6 +193,10 @@ def _flash_fwd_pallas_flat(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # blocks + f32 rope tables + double buffering peak at ~17.3MB,
+            # just over the 16MB default scoped-vmem budget under AD graphs;
+            # the v5e has 128MB of physical VMEM
+            vmem_limit_bytes=48 * 1024 * 1024,
         ),
     )(kv_len_arr, q, k, v, cosE, sinE, cosE, sinE)
     return out, lse[..., 0]
