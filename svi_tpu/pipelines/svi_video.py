@@ -515,6 +515,7 @@ class SVIVideoPipeline:
         ref_pad_num=None,
         return_latents=False,
         add_condition=None,
+        y_extra=None,
     ):
         """Generate one clip (ref __call__ :423-520). Returns a list of PIL
         frames; with args.sequential_cfg == 'latent', returns (frames, last
@@ -574,6 +575,10 @@ class SVIVideoPipeline:
             )
             if last_latent is not None:
                 image_emb["y"] = image_emb["y"].at[:, 0].set(jnp.asarray(last_latent, self.dtype))
+            if y_extra is not None:
+                # additive conditioning on the 20-channel y grid (UniAnimate's
+                # randomref pose embedding, ref wan_video.py:732-734)
+                image_emb["y"] = image_emb["y"] + jnp.asarray(y_extra, self.dtype)
         else:
             image_emb = {}
 
