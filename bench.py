@@ -147,6 +147,13 @@ def main():
     _ = np.asarray(frames[0, 0, 0, 0, 0])
     t_decode = time.perf_counter() - t0
 
+    # CLIP and the VAE are done (encode/decode measured); free their f32
+    # weights (~5GB) before the train step and the 14B section — the chip
+    # holds 15.75GB and the LoRA train step alone needs ~10GB
+    pipe.vae = pipe.image_encoder = None
+    pipe._jit_cache.clear()
+    del clip_params, vae_params, frames, latents
+
     # --- one Error-Recycling LoRA train step (1.3B, rank 128, remat) ---
     train_detail = {}
     trainable = opt_state = step_train = tbatch = None
@@ -205,9 +212,8 @@ def main():
         # 8.3GB of the 15.75GB usable HBM, so CLIP (f32), VAE and decoded
         # frames must go (the reference does the same via CPU offload,
         # vram_management/layers.py)
-        pipe.dit = pipe.vae = pipe.image_encoder = None
-        pipe._jit_cache.clear()
-        del dit_params, clip_params, vae_params, frames, latents
+        pipe.dit = None
+        del dit_params
         params14 = wan_dit.init_params_int4(jax.random.PRNGKey(2), cfg14)
         jax.block_until_ready(jax.tree.leaves(params14)[0])
         pipe14 = SVIVideoPipeline(torch_dtype=jnp.bfloat16)
