@@ -322,6 +322,175 @@ def _flash_fwd_pallas(q, k, v, kv_len, scale, block_q, block_k):
 
 
 # ---------------------------------------------------------------------------
+# Pallas backward kernels (flat layout, optional fused rope)
+#
+# Classic flash-attention backward split into a dQ kernel (iterates KV blocks
+# per Q block) and a dKV kernel (iterates Q blocks per KV block), both
+# recomputing p from the saved logsumexp. No masking is needed: q/k/v/g are
+# zero-padded to block multiples, which makes every padded row/column's
+# contribution exactly zero (ds = p·(0-0), dq += ds·0), and padded outputs
+# are sliced off. RoPE is re-applied in-kernel to the saved (un-rotated) q/k;
+# output gradients rotate back with the inverse rotation (negated sin table).
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel_flat(
+    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+    dq_ref, acc_scr, *, scale, fuse_rope, head_dim,
+):
+    j = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    if fuse_rope:
+        q = _rope_in_kernel(q, cq_ref[:], sq_ref[:], head_dim)
+        k = _rope_in_kernel(k, ck_ref[:], sk_ref[:], head_dim)
+    g = g_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0]  # (bq, 1)
+    delta = delta_ref[0, 0]  # (bq, 1)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    p = jnp.exp2((s - lse) * _LOG2E)
+    dp = jax.lax.dot_general(g, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    @pl.when(j == nk - 1)
+    def _():
+        dq = acc_scr[:]
+        if fuse_rope:
+            # grad through the (orthogonal) rotation = inverse rotation
+            dq = _rope_in_kernel(dq, cq_ref[:], -sq_ref[:], head_dim)
+        dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_flat(
+    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+    dk_ref, dv_ref, dk_scr, dv_scr, *, scale, fuse_rope, head_dim,
+):
+    i = pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(i == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    if fuse_rope:
+        q = _rope_in_kernel(q, cq_ref[:], sq_ref[:], head_dim)
+        k = _rope_in_kernel(k, ck_ref[:], sk_ref[:], head_dim)
+    g = g_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale  # (bq, bk)
+    p = jnp.exp2((s - lse) * _LOG2E)
+    dp = jax.lax.dot_general(g, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(i == nq - 1)
+    def _():
+        dk = dk_scr[:]
+        if fuse_rope:
+            dk = _rope_in_kernel(dk, ck_ref[:], -sk_ref[:], head_dim)
+        dk_ref[0] = dk.astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_pallas_flat(q, k, v, g, lse, delta, cosE, sinE, scale,
+                           block_q, block_k, head_dim, fuse_rope):
+    """All flat (B, S, N*D), zero-padded to block multiples; lse/delta
+    (B, N, Sq, 1). Returns (dq, dk, dv) flat."""
+    b, sq, nd = q.shape
+    sk = k.shape[1]
+    n = nd // head_dim
+
+    if fuse_rope:
+        q_tab = lambda which: pl.BlockSpec((block_q, head_dim), lambda b_, n_, i, j: (i, 0))
+        k_tab = lambda which: pl.BlockSpec((block_k, head_dim), lambda b_, n_, i, j: (j, 0))
+    else:
+        q_tab = k_tab = lambda which: pl.BlockSpec((8, head_dim), lambda b_, n_, i, j: (0, 0))
+
+    common = dict(scale=scale, fuse_rope=fuse_rope, head_dim=head_dim)
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        vmem_limit_bytes=64 * 1024 * 1024,
+    )
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_flat, **common),
+        grid=(b, n, sq // block_q, sk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, head_dim), lambda b_, n_, i, j: (b_, i, n_)),
+            pl.BlockSpec((1, block_k, head_dim), lambda b_, n_, i, j: (b_, j, n_)),
+            pl.BlockSpec((1, block_k, head_dim), lambda b_, n_, i, j: (b_, j, n_)),
+            pl.BlockSpec((1, block_q, head_dim), lambda b_, n_, i, j: (b_, i, n_)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b_, n_, i, j: (b_, n_, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b_, n_, i, j: (b_, n_, i, 0)),
+            q_tab("c"), q_tab("s"), k_tab("c"), k_tab("s"),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, head_dim), lambda b_, n_, i, j: (b_, i, n_)),
+        out_shape=jax.ShapeDtypeStruct((b, sq, nd), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, head_dim), jnp.float32)],
+        compiler_params=cparams,
+    )(q, k, v, g, lse, delta, cosE, sinE, cosE, sinE)
+
+    # dKV: same grid family with the reduction over Q blocks innermost
+    if fuse_rope:
+        q_tab2 = lambda: pl.BlockSpec((block_q, head_dim), lambda b_, n_, j, i: (i, 0))
+        k_tab2 = lambda: pl.BlockSpec((block_k, head_dim), lambda b_, n_, j, i: (j, 0))
+    else:
+        q_tab2 = k_tab2 = lambda: pl.BlockSpec((8, head_dim), lambda b_, n_, j, i: (0, 0))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_flat, **common),
+        grid=(b, n, sk // block_k, sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, head_dim), lambda b_, n_, j, i: (b_, i, n_)),
+            pl.BlockSpec((1, block_k, head_dim), lambda b_, n_, j, i: (b_, j, n_)),
+            pl.BlockSpec((1, block_k, head_dim), lambda b_, n_, j, i: (b_, j, n_)),
+            pl.BlockSpec((1, block_q, head_dim), lambda b_, n_, j, i: (b_, i, n_)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b_, n_, j, i: (b_, n_, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b_, n_, j, i: (b_, n_, i, 0)),
+            q_tab2(), q_tab2(), k_tab2(), k_tab2(),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, head_dim), lambda b_, n_, j, i: (b_, j, n_)),
+            pl.BlockSpec((1, block_k, head_dim), lambda b_, n_, j, i: (b_, j, n_)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sk, nd), k.dtype),
+            jax.ShapeDtypeStruct((b, sk, nd), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, head_dim), jnp.float32),
+            pltpu.VMEM((block_k, head_dim), jnp.float32),
+        ],
+        compiler_params=cparams,
+    )(q, k, v, g, lse, delta, cosE, sinE, cosE, sinE)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
 # Chunked XLA implementation (CPU fallback + backward recompute)
 # ---------------------------------------------------------------------------
 
@@ -509,6 +678,41 @@ def _flash_core_flat_bwd(kv_len, scale, use_pallas, use_rope, head_dim, res, g):
     b, sq, nd = q.shape
     sk = k.shape[1]
     n = nd // head_dim
+
+    # Pallas backward (dQ + dKV kernels). Requires zero-padded-only masking
+    # (kv_len == sk): padded rows/cols then contribute exactly zero, so the
+    # kernels skip masking entirely. kv_len < sk (SP shards) falls back to
+    # the XLA backward.
+    flat_ok = head_dim % 128 == 0 or n == 1
+    if use_pallas and flat_ok and kv_len == sk:
+        block_q = 512 if sq >= 512 else _ceil_to(max(sq, 8), 128)
+        block_k = 1024 if sk >= 1024 else _ceil_to(max(sk, 128), 128)
+        sq_p, sk_p = _ceil_to(sq, block_q), _ceil_to(sk, block_k)
+        qp = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0))) if sq_p != sq else q
+        gp = jnp.pad(g, ((0, 0), (0, sq_p - sq), (0, 0))) if sq_p != sq else g
+        kp = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else k
+        vp = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else v
+        delta = jnp.sum(
+            g.astype(jnp.float32).reshape(b, sq, n, head_dim)
+            * out.astype(jnp.float32).reshape(b, sq, n, head_dim),
+            axis=-1,
+        ).transpose(0, 2, 1)  # (B, N, Sq)
+        lse_p = lse
+        if sq_p != sq:
+            delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_p - sq)))
+            lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_p - sq)))
+        if use_rope:
+            tab_pad = _ceil_to(max(sq_p, sk_p), max(block_q, block_k))
+            cosE, sinE = _expand_rope_tables(cos, sin, head_dim, tab_pad)
+        else:
+            cosE = sinE = jnp.zeros((8, head_dim), jnp.float32)
+        dq, dk, dv = _flash_bwd_pallas_flat(
+            qp, kp, vp, gp, lse_p[..., None], delta[..., None], cosE, sinE,
+            scale, block_q, block_k, head_dim, use_rope,
+        )
+        zc = jnp.zeros_like(jnp.asarray(cos, jnp.float32))
+        zs = jnp.zeros_like(jnp.asarray(sin, jnp.float32))
+        return dq[:, :sq], dk[:, :sk], dv[:, :sk], zc, zs
     q4 = q.reshape(b, sq, n, head_dim)
     k4 = k.reshape(b, sk, n, head_dim)
     v4 = v.reshape(b, sk, n, head_dim)
