@@ -73,6 +73,8 @@ def build_parser(description="SVI-TPU error-recycling LoRA training"):
     p.add_argument("--use_first_aug", action="store_true", default=False)
     p.add_argument("--gradient_clip_val", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="dump a jax.profiler (xprof) trace of train step 3 here")
     return p
 
 
@@ -225,6 +227,9 @@ def main():
         clip_feat = np.asarray(image_emb["clip_feature"], np.float32)
         return latents, ctx, y, clip_feat
 
+    from svi_tpu.utils.logging import MetricsLogger, profile_trace
+
+    metrics_log = MetricsLogger(os.path.join(args.output_path, "metrics.jsonl"))
     step = 0
     max_steps = args.max_steps if args.max_steps > 0 else args.max_epochs * len(ds)
     t_start = time.time()
@@ -239,8 +244,11 @@ def main():
             latents, ctx, y, clip_feat = (np.concatenate(parts, axis=0)
                                           for parts in zip(*pending))
             pending = []
-            metrics = trainer.training_step(latents, ctx, y=y, clip_feature=clip_feat)
+            with profile_trace(args.profile_dir if step + 1 == 3 else None):
+                metrics = trainer.training_step(latents, ctx, y=y, clip_feature=clip_feat)
             step += 1
+            metrics_log.log(step, **{k: v for k, v in metrics.items()
+                                     if isinstance(v, (int, float, bool))})
             if step % 10 == 0 or step == 1:
                 el = time.time() - t_start
                 print(f"step {step}/{max_steps} epoch {epoch} loss {metrics['loss']:.4f} "

@@ -84,6 +84,9 @@ def main():
 
     vae_encode = jax.jit(lambda p_, v: wan_vae.encode(p_, vae_cfg, v))
     batch_b = mesh.shape["data"] if mesh is not None else 1
+    from svi_tpu.utils.logging import MetricsLogger
+
+    metrics_log = MetricsLogger(os.path.join(args.output_path, "metrics.jsonl"))
     step = 0
     max_steps = args.max_steps if args.max_steps > 0 else args.max_epochs * max(len(ds), 1)
     t_start = time.time()
@@ -116,6 +119,8 @@ def main():
                 lat_b, ctx_b, y=y_b, clip_feature=clip_b, pose=pose_b,
             )
             step += 1
+            metrics_log.log(step, **{k: v for k, v in metrics.items()
+                                     if isinstance(v, (int, float, bool))})
             if step % 10 == 0 or step == 1:
                 print(f"step {step}/{max_steps} loss {metrics['loss']:.4f} "
                       f"{(time.time() - t_start) / step:.1f}s/step")

@@ -92,3 +92,27 @@ def test_save_args_and_experiment_path(tmp_path):
     assert args.output_path.endswith("t-lora_4")
     path = save_args(args, args.output_path)
     assert os.path.exists(path) or os.path.exists(os.path.splitext(path)[0] + ".json")
+
+
+def test_metrics_logger_and_profile_trace(tmp_path):
+    """SURVEY §5 observability: JSONL metrics stream + profiler context."""
+    import json
+
+    from svi_tpu.utils.logging import MetricsLogger, profile_trace
+
+    path = str(tmp_path / "metrics.jsonl")
+    log = MetricsLogger(path)
+    log.log(1, loss=0.5, grad_norm=1.25, warmup=True)
+    log.log(2, loss=0.25)
+    log.close()
+    recs = [json.loads(l) for l in open(path)]
+    assert recs[0]["step"] == 1 and recs[0]["loss"] == 0.5 and recs[0]["warmup"] == 1.0
+    assert recs[1]["loss"] == 0.25 and "wall_time" in recs[1]
+
+    with profile_trace(None):
+        pass  # no-op path
+    import jax.numpy as jnp
+
+    with profile_trace(str(tmp_path / "trace")):
+        _ = jnp.ones((4,)) + 1
+    assert (tmp_path / "trace").exists()
