@@ -1,4 +1,10 @@
 from .continuous_ode import ContinuousODEScheduler
+from .fm_solvers import (
+    FlowDPMSolverMultistepScheduler,
+    FlowUniPCMultistepScheduler,
+    get_sampling_sigmas,
+    retrieve_timesteps,
+)
 from .ddim import EnhancedDDIMScheduler
 from .flow_match import (
     FlowMatchSchedule,
@@ -13,6 +19,10 @@ from .flow_match import (
 
 __all__ = [
     "ContinuousODEScheduler",
+    "FlowDPMSolverMultistepScheduler",
+    "FlowUniPCMultistepScheduler",
+    "get_sampling_sigmas",
+    "retrieve_timesteps",
     "EnhancedDDIMScheduler",
     "FlowMatchSchedule",
     "FlowMatchScheduler",

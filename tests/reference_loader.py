@@ -39,7 +39,33 @@ def _ensure_stubs():
         def register_to_config(fn=None, **kw):
             if fn is None:
                 return lambda f: f
-            return fn
+            # decorator on __init__: capture the bound arguments as
+            # self.config (what the real diffusers decorator does) — the
+            # reference fm_solvers read self.config.* extensively
+            import functools
+            import inspect
+
+            sig = inspect.signature(fn)
+
+            @functools.wraps(fn)
+            def wrapper(self, *args, **kwargs):
+                try:
+                    bound = sig.bind(self, *args, **kwargs)
+                    bound.apply_defaults()
+                    cfg = {k: v for k, v in bound.arguments.items() if k != "self"}
+                    ns = types.SimpleNamespace(**cfg)
+                    object.__setattr__(self, "config", ns)
+
+                    def _reg(**kw2):
+                        for k2, v2 in kw2.items():
+                            setattr(ns, k2, v2)
+
+                    object.__setattr__(self, "register_to_config", _reg)
+                except TypeError:
+                    pass
+                return fn(self, *args, **kwargs)
+
+            return wrapper
 
         diffusers.ModelMixin = ModelMixin
         cfg_utils = _mk_module("diffusers.configuration_utils")
@@ -48,6 +74,44 @@ def _ensure_stubs():
         diffusers.configuration_utils = cfg_utils
         sys.modules["diffusers"] = diffusers
         sys.modules["diffusers.configuration_utils"] = cfg_utils
+
+        sched_utils = _mk_module("diffusers.schedulers.scheduling_utils")
+
+        class SchedulerMixin:
+            pass
+
+        class SchedulerOutput:
+            def __init__(self, prev_sample=None):
+                self.prev_sample = prev_sample
+
+        import enum
+
+        class KarrasDiffusionSchedulers(enum.Enum):
+            DDIMScheduler = 1
+
+        sched_utils.SchedulerMixin = SchedulerMixin
+        sched_utils.SchedulerOutput = SchedulerOutput
+        sched_utils.KarrasDiffusionSchedulers = KarrasDiffusionSchedulers
+        schedulers_pkg = _mk_module("diffusers.schedulers")
+        schedulers_pkg.scheduling_utils = sched_utils
+        sys.modules["diffusers.schedulers"] = schedulers_pkg
+        sys.modules["diffusers.schedulers.scheduling_utils"] = sched_utils
+
+        dutils = _mk_module("diffusers.utils")
+        dutils.deprecate = lambda *a, **k: None
+        dutils.is_scipy_available = lambda: False
+        dutils_torch = _mk_module("diffusers.utils.torch_utils")
+
+        def randn_tensor(shape, generator=None, device=None, dtype=None):
+            import torch as _t
+
+            return _t.randn(shape, generator=generator, dtype=dtype)
+
+        dutils_torch.randn_tensor = randn_tensor
+        dutils.torch_utils = dutils_torch
+        diffusers.utils = dutils
+        sys.modules["diffusers.utils"] = dutils
+        sys.modules["diffusers.utils.torch_utils"] = dutils_torch
 
     if "xfuser" not in sys.modules:
         xfuser = _mk_module("xfuser")

@@ -1,0 +1,108 @@
+"""Golden parity: flow-matching UniPC / DPM-Solver++ multistep schedulers vs
+the reference (diffsynth/utils/fm_solvers_unipc.py, fm_solvers.py)."""
+
+import numpy as np
+import pytest
+import torch
+
+from reference_loader import load_ref_module
+
+from svi_tpu.schedulers.fm_solvers import (
+    FlowDPMSolverMultistepScheduler,
+    FlowUniPCMultistepScheduler,
+    get_sampling_sigmas,
+)
+
+ref_unipc = load_ref_module("diffsynth.utils.fm_solvers_unipc")
+ref_dpm = load_ref_module("diffsynth.utils.fm_solvers")
+
+
+def _fake_model(sample, i):
+    """Deterministic pseudo model output depending on sample and step."""
+    return (0.3 * sample + 0.1 * np.sin(i + 1)).astype(np.float32)
+
+
+def _run_ours(sched, steps, shift, shape=(1, 4, 2, 3, 3), seed=0):
+    sched.set_timesteps(steps, shift=shift)
+    rng = np.random.default_rng(seed)
+    sample = rng.standard_normal(shape).astype(np.float32)
+    traj = []
+    for i, t in enumerate(sched.timesteps):
+        out = _fake_model(sample, i)
+        sample = np.asarray(sched.step(out, t, sample), np.float32)
+        traj.append(sample.copy())
+    return traj
+
+
+def _run_ref(sched, steps, shift, shape=(1, 4, 2, 3, 3), seed=0):
+    sched.set_timesteps(steps, shift=shift)
+    rng = np.random.default_rng(seed)
+    sample = torch.tensor(rng.standard_normal(shape).astype(np.float32))
+    traj = []
+    with torch.no_grad():
+        for i, t in enumerate(sched.timesteps):
+            out = torch.tensor(_fake_model(sample.numpy(), i))
+            sample = sched.step(out, t, sample).prev_sample
+            traj.append(sample.numpy().copy())
+    return traj
+
+
+@pytest.mark.parametrize("order,solver_type,steps", [
+    (2, "bh2", 10), (2, "bh1", 10), (3, "bh2", 20), (1, "bh2", 6),
+])
+def test_unipc_trajectory_parity(order, solver_type, steps):
+    ours = _run_ours(
+        FlowUniPCMultistepScheduler(solver_order=order, solver_type=solver_type),
+        steps, shift=5.0,
+    )
+    ref = _run_ref(
+        ref_unipc.FlowUniPCMultistepScheduler(solver_order=order, solver_type=solver_type),
+        steps, shift=5.0,
+    )
+    assert len(ours) == len(ref) == steps
+    for i, (a, b) in enumerate(zip(ours, ref)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5, err_msg=f"step {i}")
+
+
+def test_unipc_disable_corrector_and_timesteps():
+    ours_s = FlowUniPCMultistepScheduler(disable_corrector=[0])
+    ref_s = ref_unipc.FlowUniPCMultistepScheduler(disable_corrector=[0])
+    ours = _run_ours(ours_s, 8, shift=3.0)
+    ref = _run_ref(ref_s, 8, shift=3.0)
+    np.testing.assert_allclose(ours[-1], ref[-1], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ours_s.sigmas), ref_s.sigmas.numpy(), atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(ours_s.timesteps), ref_s.timesteps.numpy())
+
+
+@pytest.mark.parametrize("order,solver_type,steps", [
+    (2, "midpoint", 10), (2, "heun", 10), (3, "midpoint", 20), (1, "midpoint", 6),
+])
+def test_dpm_trajectory_parity(order, solver_type, steps):
+    ours = _run_ours(
+        FlowDPMSolverMultistepScheduler(solver_order=order, solver_type=solver_type),
+        steps, shift=5.0,
+    )
+    ref = _run_ref(
+        ref_dpm.FlowDPMSolverMultistepScheduler(solver_order=order, solver_type=solver_type),
+        steps, shift=5.0,
+    )
+    for i, (a, b) in enumerate(zip(ours, ref)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5, err_msg=f"step {i}")
+
+
+def test_add_noise_and_sampling_sigmas():
+    ours_s = FlowUniPCMultistepScheduler()
+    ref_s = ref_unipc.FlowUniPCMultistepScheduler()
+    ours_s.set_timesteps(10, shift=5.0)
+    ref_s.set_timesteps(10, shift=5.0)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 4, 3, 3)).astype(np.float32)
+    n = rng.standard_normal((2, 4, 3, 3)).astype(np.float32)
+    t = np.asarray(ours_s.timesteps[:2])
+    a = ours_s.add_noise(x, n, t)
+    b = ref_s.add_noise(torch.tensor(x), torch.tensor(n),
+                        torch.tensor(t)).numpy()
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        get_sampling_sigmas(12, 4.0), ref_dpm.get_sampling_sigmas(12, 4.0), atol=1e-12
+    )
