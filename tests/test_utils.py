@@ -116,3 +116,52 @@ def test_metrics_logger_and_profile_trace(tmp_path):
     with profile_trace(str(tmp_path / "trace")):
         _ = jnp.ones((4,)) + 1
     assert (tmp_path / "trace").exists()
+
+
+def test_prompt_expander_dispatch(tmp_path):
+    """prompt_extend structure parity (ref prompt_extend.py:164-211):
+    system-prompt selection by language/VL/multi-image, seed handling,
+    PromptOutput envelope; official texts loadable at runtime."""
+    import json
+
+    from svi_tpu.utils import prompt_extend as pe
+
+    calls = {}
+
+    class Stub(pe.PromptExpander):
+        def extend(self, prompt, system_prompt, seed=-1, *a, **k):
+            calls.update(prompt=prompt, system_prompt=system_prompt, seed=seed)
+            return pe.PromptOutput(True, prompt + "!", seed, system_prompt, "{}")
+
+        def extend_with_img(self, prompt, system_prompt, image=None, seed=-1, *a, **k):
+            calls.update(image=image, system_prompt=system_prompt)
+            return pe.PromptOutput(True, prompt, seed, system_prompt, "{}")
+
+    ex = Stub("stub")
+    out = ex("a cat", tar_lang="en", seed=7)
+    assert out.status and out.prompt == "a cat!" and out.seed == 7
+    assert calls["system_prompt"] == pe.SYSTEM_PROMPT_TYPES[0]
+    out = ex("一只猫", tar_lang="zh")
+    assert calls["system_prompt"] == pe.SYSTEM_PROMPT_TYPES[1]
+    assert out.seed >= 0
+
+    vl = Stub("stub", is_vl=True)
+    vl("a cat", tar_lang="en", image="img.png")
+    assert calls["system_prompt"] == pe.SYSTEM_PROMPT_TYPES[2]
+    vl2 = Stub("stub", is_vl=True)
+    vl2("a cat", tar_lang="en", image=["a.png", "b.png"])
+    assert calls["system_prompt"] == pe.SYSTEM_PROMPT_TYPES[6]
+
+    # official texts can replace the defaults at runtime
+    path = tmp_path / "sys.json"
+    path.write_text(json.dumps({"0": "OFFICIAL EN"}))
+    pe.load_system_prompts(str(path))
+    try:
+        ex("x", tar_lang="en")
+        assert calls["system_prompt"] == "OFFICIAL EN"
+    finally:
+        pe.SYSTEM_PROMPT_TYPES[0] = pe.LM_EN_SYS_PROMPT
+
+    out = pe.PromptOutput(True, "p", 1, "s", "{}")
+    out.add_custom_field("extra", 3)
+    assert out.extra == 3
