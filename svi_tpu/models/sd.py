@@ -249,22 +249,24 @@ def sd_unet_forward(params: Params, sample, timestep, encoder_hidden_states):
     return jnp.moveaxis(x, -1, 1)
 
 
-def sd_vae_encode(params: Params, image):
+def sd_vae_encode(params: Params, image, scaling_factor=VAE_SCALING_FACTOR):
     """SDVAEEncoder.forward (ref sd_vae_encoder.py:52-79): (B,3,H,W) [-1,1]
-    -> (B,4,H/8,W/8) latents scaled by 0.18215 (deterministic mean branch)."""
+    -> (B,4,H/8,W/8) latents scaled by 0.18215 (deterministic mean branch).
+    SDXL reuses the same architecture with scaling 0.13025
+    (ref sdxl_vae_encoder.py:4-7)."""
     x = jnp.moveaxis(image, 1, -1)
     x = _conv2d(params["conv_in"], x)
     x = _run_plan(SD_VAE_ENCODER_PLAN, params["blocks"], x, None, None, eps_res=1e-6)
     x = _group_norm(params["conv_norm_out"], x, eps=1e-6)
     x = _conv2d(params["conv_out"], jax.nn.silu(x))
     x = _conv2d(params["quant_conv"], x, padding=0)
-    x = x[..., :4] * VAE_SCALING_FACTOR
+    x = x[..., :4] * scaling_factor
     return jnp.moveaxis(x, -1, 1)
 
 
-def sd_vae_decode(params: Params, latents):
+def sd_vae_decode(params: Params, latents, scaling_factor=VAE_SCALING_FACTOR):
     """SDVAEDecoder.forward (ref sd_vae_decoder.py:90-117)."""
-    x = jnp.moveaxis(latents, 1, -1) / VAE_SCALING_FACTOR
+    x = jnp.moveaxis(latents, 1, -1) / scaling_factor
     x = _conv2d(params["post_quant_conv"], x, padding=0)
     x = _conv2d(params["conv_in"], x)
     x = _run_plan(SD_VAE_DECODER_PLAN, params["blocks"], x, None, None, eps_res=1e-6)
@@ -273,30 +275,43 @@ def sd_vae_decode(params: Params, latents):
     return jnp.moveaxis(x, -1, 1)
 
 
-def sd_text_encoder_forward(params: Params, input_ids, clip_skip: int = 1):
-    """SDTextEncoder.forward (ref sd_text_encoder.py:62-73): token+position
-    embeds, causal mask, quickGELU layers (scanned), final LN, clip_skip."""
-    embeds = params["token_embedding"][input_ids] + params["position_embeds"][0]
+def clip_encoder_scan(encoders: Params, embeds, num_heads=12, quick_gelu=True,
+                      n_run=None):
+    """Scan stacked CLIPEncoderLayer params (ref sd_text_encoder.py:5-37):
+    pre-LN causal self-attention + (quick)GELU MLP. Returns the hidden state
+    after running the first `n_run` layers (default: all)."""
     s = embeds.shape[1]
     mask = jnp.triu(jnp.full((s, s), float("-inf"), jnp.float32), 1)[None, None]
-    n_layers = params["encoders"]["layer_norm1"]["w"].shape[0]
-    n_run = n_layers - (clip_skip - 1)
+    n_layers = encoders["layer_norm1"]["w"].shape[0]
+    hd = encoders["attn"]["to_q"]["w"].shape[-1] // num_heads
+    n_run = n_layers if n_run is None else n_run
 
     def layer(x, p):
         h = _attention(p["attn"], _layer_norm(p["layer_norm1"], x),
-                       None, num_heads=12, head_dim=64, mask=mask)
+                       None, num_heads=num_heads, head_dim=hd, mask=mask)
         x = x + h
         y = _dense(p["fc1"], _layer_norm(p["layer_norm2"], x))
-        y = y * jax.nn.sigmoid(1.702 * y.astype(jnp.float32)).astype(y.dtype)
+        if quick_gelu:
+            y = y * jax.nn.sigmoid(1.702 * y.astype(jnp.float32)).astype(y.dtype)
+        else:
+            y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(y.dtype)
         return x + _dense(p["fc2"], y)
 
     def body(x, xs):
         i, p = xs
         return jnp.where(i < n_run, layer(x, p), x), None
 
-    embeds, _ = jax.lax.scan(
-        body, embeds, (jnp.arange(n_layers), params["encoders"])
-    )
+    embeds, _ = jax.lax.scan(body, embeds, (jnp.arange(n_layers), encoders))
+    return embeds
+
+
+def sd_text_encoder_forward(params: Params, input_ids, clip_skip: int = 1):
+    """SDTextEncoder.forward (ref sd_text_encoder.py:62-73): token+position
+    embeds, causal mask, quickGELU layers (scanned), final LN, clip_skip."""
+    embeds = params["token_embedding"][input_ids] + params["position_embeds"][0]
+    n_layers = params["encoders"]["layer_norm1"]["w"].shape[0]
+    embeds = clip_encoder_scan(params["encoders"], embeds,
+                               n_run=n_layers - (clip_skip - 1))
     return _layer_norm(params["final_layer_norm"], embeds)
 
 

@@ -1,4 +1,6 @@
+from .sd3_image import SD3ImagePipeline, SD3Prompter
 from .sd_image import SDImagePipeline, SDPrompter
+from .sdxl_image import SDXLImagePipeline, SDXLPrompter
 from .svi_video import SVIVideoPipeline, TeaCache, model_fn_wan_video
 from .svi_video_dance import SVIDanceVideoPipeline
 from .svi_video_talk import SVITalkVideoPipeline
@@ -7,6 +9,10 @@ from .wan_video import WanVideoPipeline
 __all__ = [
     "SDImagePipeline",
     "SDPrompter",
+    "SD3ImagePipeline",
+    "SD3Prompter",
+    "SDXLImagePipeline",
+    "SDXLPrompter",
     "SVIVideoPipeline",
     "SVIDanceVideoPipeline",
     "SVITalkVideoPipeline",

@@ -1,0 +1,145 @@
+"""SD3 / SD3.5 text/image-to-image pipeline.
+
+Behavioral reference: diffsynth/pipelines/sd3_image.py (SD3ImagePipeline:
+FlowMatchScheduler shift=3, CFG over the MMDiT) + prompters/sd3_prompter.py
+(CLIP-L + bigG hidden concatenated and zero-padded to 4096, stacked on the
+T5-XXL sequence; pooled = concat of the two CLIP pooled outputs; T5 absent ->
+zero context rows).
+
+TPU notes: posi/nega batched into one MMDiT pass; FlowMatch step host-side.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import sd3, sdxl
+from ..schedulers.flow_match import FlowMatchScheduler
+from .base import check_resize_height_width, generate_noise, preprocess_image
+
+
+class SD3Prompter:
+    """Ref sd3_prompter.py:8-93 (fixed 77-token CLIP windows, optional T5)."""
+
+    def __init__(self, tokenizer=None, t5_tokenizer=None):
+        self.tokenizer = tokenizer
+        self.t5_tokenizer = t5_tokenizer
+
+    def _clip_ids(self, prompt):
+        if self.tokenizer is None:
+            from transformers import CLIPTokenizerFast
+
+            self.tokenizer = CLIPTokenizerFast.from_pretrained(
+                "openai/clip-vit-large-patch14")
+        return jnp.asarray(self.tokenizer(
+            prompt, return_tensors="np", padding="max_length", max_length=77,
+            truncation=True).input_ids)
+
+    def encode_prompt(self, te1_params, te2_params, t5, prompt,
+                      t5_sequence_length=77):
+        """t5: None or a (params, cfg, tokenizer) triple for
+        svi_tpu.models.t5."""
+        ids = self._clip_ids(prompt)
+        pooled_1, emb_1 = sd3.sd3_text_encoder_1_forward(te1_params, ids)
+        pooled_2, emb_2 = sdxl.sdxl_text_encoder_2_forward(te2_params, ids)
+        clip_emb = jnp.concatenate([emb_1, emb_2], axis=-1)
+        clip_emb = jnp.pad(clip_emb,
+                           ((0, 0), (0, 0), (0, 4096 - clip_emb.shape[-1])))
+        if t5 is None:
+            emb_3 = jnp.zeros((clip_emb.shape[0], t5_sequence_length, 4096),
+                              clip_emb.dtype)
+        else:
+            from ..models import t5 as t5_mod
+
+            t5_params, t5_cfg, t5_tok = t5
+            tid = t5_tok(prompt, return_tensors="np", padding="max_length",
+                         max_length=t5_sequence_length, truncation=True).input_ids
+            emb_3 = t5_mod.forward(t5_params, t5_cfg, jnp.asarray(tid))
+            emb_3 = emb_3.reshape(1, -1, 4096).astype(clip_emb.dtype)
+        prompt_emb = jnp.concatenate([clip_emb, emb_3], axis=-2)
+        pooled = jnp.concatenate([pooled_1, pooled_2], axis=-1)
+        return prompt_emb, pooled
+
+
+class SD3ImagePipeline:
+    """Ref sd3_image.py:12-152."""
+
+    def __init__(self, dit_params, text_encoder_1_params=None,
+                 text_encoder_2_params=None, t5=None, vae_encoder_params=None,
+                 vae_decoder_params=None, tokenizer=None, dtype=jnp.float32):
+        self.scheduler = FlowMatchScheduler(shift=3.0)
+        self.prompter = SD3Prompter(tokenizer)
+        cast = lambda p: (None if p is None else
+                          jax.tree.map(lambda a: jnp.asarray(a, dtype), p))
+        self.dit_params = cast(dit_params)
+        self.text_encoder_1_params = cast(text_encoder_1_params)
+        self.text_encoder_2_params = cast(text_encoder_2_params)
+        self.t5 = t5
+        self.vae_encoder_params = cast(vae_encoder_params)
+        self.vae_decoder_params = cast(vae_decoder_params)
+        self.dtype = dtype
+
+    @staticmethod
+    @jax.jit
+    def _cfg_dit_impl(params, latents, timestep, emb_posi, emb_nega,
+                      pooled_posi, pooled_nega, cfg_scale):
+        sample = jnp.concatenate([latents, latents], axis=0)
+        ctx = jnp.concatenate([emb_posi, emb_nega], axis=0)
+        pooled = jnp.concatenate([pooled_posi, pooled_nega], axis=0)
+        t = jnp.concatenate([timestep, timestep], axis=0)
+        pred = sd3.sd3_dit_forward(params, sample, t, ctx, pooled)
+        posi, nega = jnp.split(pred, 2, axis=0)
+        return nega + cfg_scale * (posi - nega)
+
+    def encode_prompt(self, prompt, t5_sequence_length=77):
+        emb, pooled = self.prompter.encode_prompt(
+            self.text_encoder_1_params, self.text_encoder_2_params, self.t5,
+            prompt, t5_sequence_length)
+        return emb.astype(self.dtype), pooled.astype(self.dtype)
+
+    def vae_output_to_image(self, vae_output):
+        from PIL import Image
+
+        arr = np.asarray(vae_output[0], np.float32).transpose(1, 2, 0)
+        return Image.fromarray(((arr / 2 + 0.5).clip(0, 1) * 255).astype(np.uint8))
+
+    def __call__(self, prompt, negative_prompt="", cfg_scale=7.5,
+                 input_image=None, denoising_strength=1.0, height=1024,
+                 width=1024, num_inference_steps=28, t5_sequence_length=77,
+                 seed=None, prompt_emb_posi=None, prompt_emb_nega=None):
+        height, width = check_resize_height_width(height, width, factor=64)
+        self.scheduler.set_timesteps(num_inference_steps, denoising_strength)
+
+        if input_image is not None:
+            image = jnp.asarray(preprocess_image(input_image), self.dtype)
+            latents = jax.jit(sd3.sd3_vae_encode)(self.vae_encoder_params, image)
+            noise = jnp.asarray(
+                generate_noise((1, 16, height // 8, width // 8), seed), self.dtype)
+            latents = jnp.asarray(self.scheduler.add_noise(
+                latents, noise, timestep=self.scheduler.timesteps[0]), self.dtype)
+        else:
+            latents = jnp.asarray(
+                generate_noise((1, 16, height // 8, width // 8), seed), self.dtype)
+
+        if prompt_emb_posi is None:
+            prompt_emb_posi = self.encode_prompt(prompt, t5_sequence_length)
+        if prompt_emb_nega is None:
+            prompt_emb_nega = self.encode_prompt(negative_prompt,
+                                                 t5_sequence_length)
+        emb_posi, pooled_posi = prompt_emb_posi
+        emb_nega, pooled_nega = prompt_emb_nega
+
+        for i, timestep in enumerate(np.asarray(self.scheduler.timesteps)):
+            t = jnp.asarray([timestep], self.dtype)
+            noise_pred = self._cfg_dit_impl(
+                self.dit_params, latents, t, emb_posi, emb_nega,
+                pooled_posi, pooled_nega, float(cfg_scale))
+            latents = jnp.asarray(self.scheduler.step(
+                np.asarray(noise_pred, np.float32),
+                self.scheduler.timesteps[i],
+                np.asarray(latents, np.float32)), self.dtype)
+
+        return self.vae_output_to_image(
+            jax.jit(sd3.sd3_vae_decode)(self.vae_decoder_params, latents))

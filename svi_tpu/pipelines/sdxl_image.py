@@ -1,0 +1,159 @@
+"""SDXL text/image-to-image pipeline.
+
+Behavioral reference: diffsynth/pipelines/sdxl_image.py (SDXLImagePipeline) +
+prompters/sdxl_prompter.py (dual-encoder prompt encoding: CLIP-L hidden +
+bigG hidden concatenated to 2048, pooled bigG as add_text_embeds) —
+EnhancedDDIMScheduler CFG loop with add_time_id = (h, w, 0, 0, h, w).
+
+TPU notes: posi/nega batched into one UNet pass; scheduler math host-side.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import sdxl
+from ..schedulers.ddim import EnhancedDDIMScheduler
+from .base import check_resize_height_width, generate_noise, preprocess_image
+from .sd_image import tokenize_long_prompt
+
+
+class SDXLPrompter:
+    """Ref sdxl_prompter.py:9-62 (no textual inversion / refiners yet)."""
+
+    def __init__(self, tokenizer=None, tokenizer_2=None):
+        self.tokenizer = tokenizer
+        self.tokenizer_2 = tokenizer_2
+
+    def _ensure_tokenizers(self):
+        if self.tokenizer is None:
+            from transformers import CLIPTokenizerFast
+
+            self.tokenizer = CLIPTokenizerFast.from_pretrained(
+                "openai/clip-vit-large-patch14")
+        if self.tokenizer_2 is None:
+            self.tokenizer_2 = self.tokenizer
+
+    def encode_prompt(self, te_params, te2_params, prompt, clip_skip=1,
+                      clip_skip_2=2):
+        self._ensure_tokenizers()
+        ids = tokenize_long_prompt(self.tokenizer, prompt)
+        emb1 = sdxl.sdxl_text_encoder_forward(te_params, jnp.asarray(ids),
+                                              clip_skip=clip_skip)
+        ids2 = tokenize_long_prompt(self.tokenizer_2, prompt)
+        pooled, emb2 = sdxl.sdxl_text_encoder_2_forward(
+            te2_params, jnp.asarray(ids2), clip_skip=clip_skip_2)
+        n = min(emb1.shape[0], emb2.shape[0])
+        emb = jnp.concatenate([emb1[:n], emb2[:n]], axis=-1)
+        # long prompts: pooled embedding from the first 77-token chunk only
+        return pooled[0:1], emb.reshape(1, n * emb.shape[1], -1)
+
+
+class SDXLImagePipeline:
+    """Ref sdxl_image.py:15-232 (ControlNet / IP-Adapter / Kolors ChatGLM
+    prompting not implemented yet; tracked in ROADMAP.md)."""
+
+    def __init__(self, unet_params, text_encoder_params=None,
+                 text_encoder_2_params=None, vae_encoder_params=None,
+                 vae_decoder_params=None, tokenizer=None, tokenizer_2=None,
+                 dtype=jnp.float32):
+        self.scheduler = EnhancedDDIMScheduler()
+        self.prompter = SDXLPrompter(tokenizer, tokenizer_2)
+        cast = lambda p: (None if p is None else
+                          jax.tree.map(lambda a: jnp.asarray(a, dtype), p))
+        self.unet_params = cast(unet_params)
+        self.text_encoder_params = cast(text_encoder_params)
+        self.text_encoder_2_params = cast(text_encoder_2_params)
+        self.vae_encoder_params = cast(vae_encoder_params)
+        self.vae_decoder_params = cast(vae_decoder_params)
+        self.dtype = dtype
+
+    @staticmethod
+    @jax.jit
+    def _cfg_unet_impl(params, latents, timestep, emb_posi, emb_nega,
+                       pooled_posi, pooled_nega, add_time_id, cfg_scale):
+        sample = jnp.concatenate([latents, latents], axis=0)
+        ctx = jnp.concatenate([emb_posi, emb_nega], axis=0)
+        pooled = jnp.concatenate([pooled_posi, pooled_nega], axis=0)
+        t = jnp.concatenate([timestep, timestep], axis=0)
+        ids = jnp.concatenate([add_time_id, add_time_id], axis=0)
+        pred = sdxl.sdxl_unet_forward(params, sample, t, ctx, ids, pooled)
+        posi, nega = jnp.split(pred, 2, axis=0)
+        return nega + cfg_scale * (posi - nega)
+
+    @staticmethod
+    @jax.jit
+    def _unet_impl(params, latents, timestep, emb, pooled, add_time_id):
+        return sdxl.sdxl_unet_forward(params, latents, timestep, emb,
+                                      add_time_id, pooled)
+
+    def encode_prompt(self, prompt, clip_skip=1, clip_skip_2=2):
+        pooled, emb = self.prompter.encode_prompt(
+            self.text_encoder_params, self.text_encoder_2_params, prompt,
+            clip_skip, clip_skip_2)
+        return pooled.astype(self.dtype), emb.astype(self.dtype)
+
+    def vae_output_to_image(self, vae_output):
+        from PIL import Image
+
+        arr = np.asarray(vae_output[0], np.float32).transpose(1, 2, 0)
+        return Image.fromarray(((arr / 2 + 0.5).clip(0, 1) * 255).astype(np.uint8))
+
+    def __call__(self, prompt, negative_prompt="", cfg_scale=7.5, clip_skip=1,
+                 clip_skip_2=2, input_image=None, denoising_strength=1.0,
+                 height=1024, width=1024, num_inference_steps=20, seed=None,
+                 prompt_emb_posi=None, prompt_emb_nega=None):
+        height, width = check_resize_height_width(height, width, factor=64)
+        self.scheduler.set_timesteps(num_inference_steps, denoising_strength)
+
+        if input_image is not None:
+            image = jnp.asarray(preprocess_image(input_image), self.dtype)
+            latents = jax.jit(sdxl.sdxl_vae_encode)(self.vae_encoder_params, image)
+            noise = jnp.asarray(
+                generate_noise((1, 4, height // 8, width // 8), seed), self.dtype)
+            latents = jnp.asarray(self.scheduler.add_noise(
+                latents, noise, timestep=self.scheduler.timesteps[0]), self.dtype)
+        else:
+            latents = jnp.asarray(
+                generate_noise((1, 4, height // 8, width // 8), seed), self.dtype)
+
+        if prompt_emb_posi is None:
+            prompt_emb_posi = self.encode_prompt(prompt, clip_skip, clip_skip_2)
+        if prompt_emb_nega is None and cfg_scale != 1.0:
+            prompt_emb_nega = self.encode_prompt(negative_prompt, clip_skip,
+                                                 clip_skip_2)
+        pooled_posi, emb_posi = prompt_emb_posi
+        # add_time_id: (height, width, 0, 0, height, width) per sample
+        # (ref sdxl_image.py:105-108)
+        add_time_id = jnp.asarray([height, width, 0, 0, height, width],
+                                  jnp.float32)[None]
+
+        if cfg_scale != 1.0:
+            pooled_nega, emb_nega = prompt_emb_nega
+            n = max(emb_posi.shape[1], emb_nega.shape[1])
+
+            def _pad(e):
+                while e.shape[1] < n:
+                    e = jnp.concatenate([e, e[:, -77:]], axis=1)
+                return e
+
+            emb_posi, emb_nega = _pad(emb_posi), _pad(emb_nega)
+
+        for timestep in self.scheduler.timesteps:
+            t = jnp.asarray([timestep], self.dtype)
+            if cfg_scale != 1.0:
+                noise_pred = self._cfg_unet_impl(
+                    self.unet_params, latents, t, emb_posi, emb_nega,
+                    pooled_posi, pooled_nega, add_time_id, float(cfg_scale))
+            else:
+                noise_pred = self._unet_impl(self.unet_params, latents, t,
+                                             emb_posi, pooled_posi, add_time_id)
+            latents = jnp.asarray(
+                self.scheduler.step(np.asarray(noise_pred, np.float32),
+                                    timestep,
+                                    np.asarray(latents, np.float32)), self.dtype)
+
+        return self.vae_output_to_image(
+            jax.jit(sdxl.sdxl_vae_decode)(self.vae_decoder_params, latents))
