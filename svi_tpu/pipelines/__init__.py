@@ -1,3 +1,4 @@
+from .flux_image import FluxImagePipeline, FluxPrompter
 from .sd3_image import SD3ImagePipeline, SD3Prompter
 from .sd_image import SDImagePipeline, SDPrompter
 from .sdxl_image import SDXLImagePipeline, SDXLPrompter
@@ -7,6 +8,8 @@ from .svi_video_talk import SVITalkVideoPipeline
 from .wan_video import WanVideoPipeline
 
 __all__ = [
+    "FluxImagePipeline",
+    "FluxPrompter",
     "SDImagePipeline",
     "SDPrompter",
     "SD3ImagePipeline",

@@ -1,0 +1,142 @@
+"""FLUX.1 text/image-to-image pipeline.
+
+Behavioral reference: diffsynth/pipelines/flux_image.py (FluxImagePipeline:
+FlowMatchScheduler, embedded guidance 3.5 with optional true CFG) +
+prompters/flux_prompter.py (CLIP-L pooled via SD3TextEncoder1 + T5 sequence,
+default t5_sequence_length 512).
+
+TPU notes: the common cfg_scale==1.0 path is a single jitted DiT call per
+step; RoPE tables are computed inside the jit (constant-folded per shape).
+EliGen entity masks / ControlNet / IP-Adapter / TeaCache-for-Flux are not
+implemented yet (tracked in ROADMAP.md).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import flux, sd3
+from ..schedulers.flow_match import FlowMatchScheduler
+from .base import check_resize_height_width, generate_noise, preprocess_image
+
+
+class FluxPrompter:
+    """Ref flux_prompter.py:8-76."""
+
+    def __init__(self, tokenizer=None, t5_tokenizer=None):
+        self.tokenizer = tokenizer
+        self.t5_tokenizer = t5_tokenizer
+
+    def encode_prompt(self, te1_params, t5, prompt, t5_sequence_length=512):
+        if self.tokenizer is None:
+            from transformers import CLIPTokenizerFast
+
+            self.tokenizer = CLIPTokenizerFast.from_pretrained(
+                "openai/clip-vit-large-patch14")
+        ids = jnp.asarray(self.tokenizer(
+            prompt, return_tensors="np", padding="max_length", max_length=77,
+            truncation=True).input_ids)
+        pooled, _ = sd3.sd3_text_encoder_1_forward(te1_params, ids)
+        from ..models import t5 as t5_mod
+
+        t5_params, t5_cfg, t5_tok = t5
+        tid = t5_tok(prompt, return_tensors="np", padding="max_length",
+                     max_length=t5_sequence_length, truncation=True).input_ids
+        emb = t5_mod.forward(t5_params, t5_cfg, jnp.asarray(tid))
+        return emb.reshape(1, -1, emb.shape[-1]), pooled
+
+
+class FluxImagePipeline:
+    """Ref flux_image.py:20-470 (core denoise path)."""
+
+    def __init__(self, dit_params, text_encoder_1_params=None, t5=None,
+                 vae_encoder_params=None, vae_decoder_params=None,
+                 tokenizer=None, dtype=jnp.bfloat16):
+        self.scheduler = FlowMatchScheduler(shift=3.0)
+        self.prompter = FluxPrompter(tokenizer)
+        cast = lambda p: (None if p is None else
+                          jax.tree.map(lambda a: jnp.asarray(a, dtype), p))
+        self.dit_params = cast(dit_params)
+        self.text_encoder_1_params = cast(text_encoder_1_params)
+        self.t5 = t5
+        self.vae_encoder_params = cast(vae_encoder_params)
+        self.vae_decoder_params = cast(vae_decoder_params)
+        self.dtype = dtype
+
+    @staticmethod
+    @jax.jit
+    def _dit_impl(params, latents, timestep, emb, pooled, guidance):
+        return flux.flux_dit_forward(params, latents, timestep, emb, pooled,
+                                     guidance=guidance)
+
+    @staticmethod
+    @jax.jit
+    def _cfg_dit_impl(params, latents, timestep, emb_posi, emb_nega,
+                      pooled_posi, pooled_nega, guidance, cfg_scale):
+        sample = jnp.concatenate([latents, latents], axis=0)
+        ctx = jnp.concatenate([emb_posi, emb_nega], axis=0)
+        pooled = jnp.concatenate([pooled_posi, pooled_nega], axis=0)
+        t = jnp.concatenate([timestep, timestep], axis=0)
+        g = jnp.concatenate([guidance, guidance], axis=0)
+        pred = flux.flux_dit_forward(params, sample, t, ctx, pooled, guidance=g)
+        posi, nega = jnp.split(pred, 2, axis=0)
+        return nega + cfg_scale * (posi - nega)
+
+    def encode_prompt(self, prompt, t5_sequence_length=512):
+        emb, pooled = self.prompter.encode_prompt(
+            self.text_encoder_1_params, self.t5, prompt, t5_sequence_length)
+        return emb.astype(self.dtype), pooled.astype(self.dtype)
+
+    def vae_output_to_image(self, vae_output):
+        from PIL import Image
+
+        arr = np.asarray(vae_output[0], np.float32).transpose(1, 2, 0)
+        return Image.fromarray(((arr / 2 + 0.5).clip(0, 1) * 255).astype(np.uint8))
+
+    def __call__(self, prompt, negative_prompt="", cfg_scale=1.0,
+                 embedded_guidance=3.5, t5_sequence_length=512,
+                 input_image=None, denoising_strength=1.0, height=1024,
+                 width=1024, num_inference_steps=30, seed=None,
+                 prompt_emb_posi=None, prompt_emb_nega=None):
+        height, width = check_resize_height_width(height, width, factor=16)
+        self.scheduler.set_timesteps(num_inference_steps, denoising_strength)
+
+        if input_image is not None:
+            image = jnp.asarray(preprocess_image(input_image), self.dtype)
+            latents = jax.jit(flux.flux_vae_encode)(self.vae_encoder_params, image)
+            noise = jnp.asarray(
+                generate_noise((1, 16, height // 8, width // 8), seed), self.dtype)
+            latents = jnp.asarray(self.scheduler.add_noise(
+                latents, noise, timestep=self.scheduler.timesteps[0]), self.dtype)
+        else:
+            latents = jnp.asarray(
+                generate_noise((1, 16, height // 8, width // 8), seed), self.dtype)
+
+        if prompt_emb_posi is None:
+            prompt_emb_posi = self.encode_prompt(prompt, t5_sequence_length)
+        emb_posi, pooled_posi = prompt_emb_posi
+        if cfg_scale != 1.0:
+            if prompt_emb_nega is None:
+                prompt_emb_nega = self.encode_prompt(negative_prompt,
+                                                     t5_sequence_length)
+            emb_nega, pooled_nega = prompt_emb_nega
+        guidance = jnp.asarray([embedded_guidance], self.dtype)
+
+        for i, timestep in enumerate(np.asarray(self.scheduler.timesteps)):
+            t = jnp.asarray([timestep], self.dtype)
+            if cfg_scale != 1.0:
+                noise_pred = self._cfg_dit_impl(
+                    self.dit_params, latents, t, emb_posi, emb_nega,
+                    pooled_posi, pooled_nega, guidance, float(cfg_scale))
+            else:
+                noise_pred = self._dit_impl(self.dit_params, latents, t,
+                                            emb_posi, pooled_posi, guidance)
+            latents = jnp.asarray(self.scheduler.step(
+                np.asarray(noise_pred, np.float32),
+                self.scheduler.timesteps[i],
+                np.asarray(latents, np.float32)), self.dtype)
+
+        return self.vae_output_to_image(
+            jax.jit(flux.flux_vae_decode)(self.vae_decoder_params, latents))
