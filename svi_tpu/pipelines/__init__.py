@@ -1,4 +1,5 @@
 from .flux_image import FluxImagePipeline, FluxPrompter
+from .hunyuan_image import HunyuanDiTImagePipeline, HunyuanTextEncoderWrapper
 from .sd3_image import SD3ImagePipeline, SD3Prompter
 from .sd_image import SDImagePipeline, SDPrompter
 from .sdxl_image import SDXLImagePipeline, SDXLPrompter
@@ -8,6 +9,8 @@ from .svi_video_talk import SVITalkVideoPipeline
 from .wan_video import WanVideoPipeline
 
 __all__ = [
+    "HunyuanDiTImagePipeline",
+    "HunyuanTextEncoderWrapper",
     "FluxImagePipeline",
     "FluxPrompter",
     "SDImagePipeline",

@@ -232,6 +232,37 @@ def load_reference_package():
 
     sys.modules["diffsynth.prompters"].WanPrompter = _StubWanPrompter
 
+    class _StubPrompter:
+        def __init__(self, *a, **k):
+            pass
+
+        def fetch_models(self, *a, **k):
+            pass
+
+        def load_prompt_refiners(self, *a, **k):
+            pass
+
+    for name in ("HunyuanDiTPrompter", "SDPrompter", "SDXLPrompter",
+                 "SD3Prompter", "FluxPrompter", "HunyuanVideoPrompter",
+                 "StepVideoPrompter", "CogPrompter", "OmnigenPrompter",
+                 "KolorsPrompter"):
+        setattr(sys.modules["diffsynth.prompters"], name, _StubPrompter)
+
+    # scheduler re-exports (diffsynth/schedulers/__init__ pulls nothing heavy,
+    # but the namespace shim bypasses it; load the real modules directly)
+    for fname, cls_names in [("ddim", ["EnhancedDDIMScheduler"]),
+                             ("flow_match", ["FlowMatchScheduler"]),
+                             ("continuous_ode", ["ContinuousODEScheduler"])]:
+        dotted = f"diffsynth.schedulers.{fname}"
+        spec = importlib.util.spec_from_file_location(
+            dotted, f"{REF}/diffsynth/schedulers/{fname}.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[dotted] = mod
+        spec.loader.exec_module(mod)
+        for cls in cls_names:
+            setattr(sys.modules["diffsynth.schedulers"], cls,
+                    getattr(mod, cls))
+
     vm = types.ModuleType("diffsynth.vram_management")
 
     def _enable_vram_management(*a, **k):
