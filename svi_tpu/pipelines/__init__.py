@@ -1,3 +1,4 @@
+from .cog_video import CogVideoPipeline
 from .flux_image import FluxImagePipeline, FluxPrompter
 from .hunyuan_image import HunyuanDiTImagePipeline, HunyuanTextEncoderWrapper
 from .sd3_image import SD3ImagePipeline, SD3Prompter
@@ -9,6 +10,7 @@ from .svi_video_talk import SVITalkVideoPipeline
 from .wan_video import WanVideoPipeline
 
 __all__ = [
+    "CogVideoPipeline",
     "HunyuanDiTImagePipeline",
     "HunyuanTextEncoderWrapper",
     "FluxImagePipeline",
