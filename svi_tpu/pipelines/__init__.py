@@ -1,5 +1,6 @@
 from .cog_video import CogVideoPipeline
 from .flux_image import FluxImagePipeline, FluxPrompter
+from .hunyuan_video import HunyuanVideoPipeline
 from .hunyuan_image import HunyuanDiTImagePipeline, HunyuanTextEncoderWrapper
 from .sd3_image import SD3ImagePipeline, SD3Prompter
 from .sd_image import SDImagePipeline, SDPrompter
@@ -10,6 +11,7 @@ from .svi_video_talk import SVITalkVideoPipeline
 from .wan_video import WanVideoPipeline
 
 __all__ = [
+    "HunyuanVideoPipeline",
     "CogVideoPipeline",
     "HunyuanDiTImagePipeline",
     "HunyuanTextEncoderWrapper",
