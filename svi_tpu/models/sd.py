@@ -12,8 +12,10 @@ flash kernel; the 77-token CLIP attention uses a plain masked XLA attention
 stack is scanned over stacked per-layer params. The architecture plans are
 data (block descriptor lists), mirroring the reference's flat Sequential.
 
-Scope: the reference's tiled_forward / ControlNet / IP-Adapter hooks are not
-implemented yet (tracked in ROADMAP.md).
+ControlNet residuals enter through sd_unet_forward(controlnet_res=...)
+(models/controlnets.py) and IP-Adapter K/V through ipadapter_kwargs_list
+(models/ipadapter.py). The reference's tiled_forward is not implemented
+(tracked in ROADMAP.md).
 """
 
 from __future__ import annotations
@@ -68,7 +70,23 @@ def _layer_norm(p, x, eps=1e-5):
     return (y * p["w"].astype(jnp.float32) + p["b"].astype(jnp.float32)).astype(x.dtype)
 
 
-def _attention(p, x, ctx=None, num_heads=8, head_dim=None, mask=None):
+def _ipadapter_attention(q, ipadapter, num_heads, hd):
+    """interact_with_ipadapter (ref attention.py:29-35): extra attention of
+    the same queries onto the 4 projected image tokens, scaled and added."""
+    b, s = q.shape[0], q.shape[1]
+    ip_k = ipadapter["ip_k"].reshape(1, -1, num_heads, hd).astype(q.dtype)
+    ip_v = ipadapter["ip_v"].reshape(1, -1, num_heads, hd).astype(q.dtype)
+    logits = jnp.einsum("bsnd,bknd->bnsk", q.astype(jnp.float32),
+                        jnp.broadcast_to(ip_k, (b,) + ip_k.shape[1:]
+                                         ).astype(jnp.float32)) * (hd ** -0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    o = jnp.einsum("bnsk,bknd->bsnd", probs,
+                   jnp.broadcast_to(ip_v, (b,) + ip_v.shape[1:]))
+    return ipadapter.get("scale", 1.0) * o.reshape(b, s, num_heads * hd)
+
+
+def _attention(p, x, ctx=None, num_heads=8, head_dim=None, mask=None,
+               ipadapter=None):
     """Attention (ref attention.py:15-65): to_q/k/v/out."""
     ctx = x if ctx is None else ctx
     b, s, _ = x.shape
@@ -78,10 +96,15 @@ def _attention(p, x, ctx=None, num_heads=8, head_dim=None, mask=None):
     v = _dense(p["to_v"], ctx)
     hd = head_dim or q.shape[-1] // num_heads
     if mask is None:
+        qh = q.reshape(b, s, num_heads, hd)
         o = flash_attention(
-            q.reshape(b, s, num_heads, hd), k.reshape(b, sk, num_heads, hd),
+            qh, k.reshape(b, sk, num_heads, hd),
             v.reshape(b, sk, num_heads, hd),
-        ).reshape(b, s, num_heads * hd)
+        )
+        if ipadapter is not None:
+            o = o.reshape(b, s, num_heads * hd) \
+                + _ipadapter_attention(qh, ipadapter, num_heads, hd)
+        o = o.reshape(b, s, num_heads * hd)
     else:
         qh = q.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
         kh = k.reshape(b, sk, num_heads, hd).transpose(0, 2, 1, 3)
@@ -122,18 +145,22 @@ def _resnet_block(p, x, time_emb, groups=32, eps=1e-5):
     return x + h
 
 
-def _transformer_block(p, x, ctx, num_heads, head_dim):
-    """BasicTransformerBlock (ref :31-67): self-attn, cross-attn, GEGLU ff."""
+def _transformer_block(p, x, ctx, num_heads, head_dim, ipadapter=None):
+    """BasicTransformerBlock (ref :31-67): self-attn, cross-attn (with
+    optional IP-Adapter kv), GEGLU ff."""
     x = x + _attention(p["attn1"], _layer_norm(p["norm1"], x), None, num_heads, head_dim)
-    x = x + _attention(p["attn2"], _layer_norm(p["norm2"], x), ctx, num_heads, head_dim)
+    x = x + _attention(p["attn2"], _layer_norm(p["norm2"], x), ctx, num_heads,
+                       head_dim, ipadapter=ipadapter)
     h = _dense(p["act_fn"], _layer_norm(p["norm3"], x))
     a, gate = jnp.split(h, 2, axis=-1)
     h = a * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(x.dtype)
     return x + _dense(p["ff"], h)
 
 
-def _attention_block(p, x, time_emb, text_emb, num_heads, head_dim, eps=1e-6):
-    """AttentionBlock (ref :126-208), non-tiled path."""
+def _attention_block(p, x, time_emb, text_emb, num_heads, head_dim, eps=1e-6,
+                     ipadapter_kwargs=None):
+    """AttentionBlock (ref :126-208), non-tiled path. ipadapter_kwargs:
+    {transformer_id: {ip_k, ip_v, scale}}."""
     b, h, w, c = x.shape
     residual = x
     y = _group_norm(p["norm"], x, eps=eps).reshape(b, h * w, c)
@@ -141,8 +168,9 @@ def _attention_block(p, x, time_emb, text_emb, num_heads, head_dim, eps=1e-6):
     ctx = text_emb
     if ctx.shape[0] != b:
         ctx = jnp.repeat(ctx, b // ctx.shape[0], axis=0)
-    for tp in p["transformer_blocks"]:
-        y = _transformer_block(tp, y, ctx, num_heads, head_dim)
+    for tid, tp in enumerate(p["transformer_blocks"]):
+        ip = None if ipadapter_kwargs is None else ipadapter_kwargs.get(tid)
+        y = _transformer_block(tp, y, ctx, num_heads, head_dim, ipadapter=ip)
     y = _dense(p["proj_out"], y).reshape(b, h, w, c)
     return y + residual
 
@@ -206,14 +234,22 @@ SD_VAE_DECODER_PLAN = (
 VAE_SCALING_FACTOR = 0.18215
 
 
-def _run_plan(plan, blocks, x, time_emb, text_emb, eps_res=1e-5):
+def _run_plan(plan, blocks, x, time_emb, text_emb, eps_res=1e-5,
+              controlnet_res=None, controlnet_insert_at=None,
+              ipadapter_kwargs_list=None):
+    """controlnet_res: channels-last residual list; after executing the plan
+    entry at controlnet_insert_at, the last residual is added to the stream
+    and the rest elementwise onto the skip stack (ref dancer.py:102-107).
+    ipadapter_kwargs_list: {plan_index: {transformer_id: kv-kwargs}}."""
     res_stack = [x] if time_emb is not None else None
-    for desc, p in zip(plan, blocks):
+    ipadapter_kwargs_list = ipadapter_kwargs_list or {}
+    for i, (desc, p) in enumerate(zip(plan, blocks)):
         kind = desc[0]
         if kind == "res":
             x = _resnet_block(p, x, time_emb, eps=eps_res)
         elif kind == "attn":
-            x = _attention_block(p, x, time_emb, text_emb, desc[1], desc[2])
+            x = _attention_block(p, x, time_emb, text_emb, desc[1], desc[2],
+                                 ipadapter_kwargs=ipadapter_kwargs_list.get(i))
         elif kind == "vae_attn":
             x = _vae_attention_block(p, x)
         elif kind == "push":
@@ -231,19 +267,30 @@ def _run_plan(plan, blocks, x, time_emb, text_emb, eps_res=1e-5):
             x = _conv2d(p["conv"], x)
         else:
             raise ValueError(kind)
+        if controlnet_res is not None and i == controlnet_insert_at:
+            x = x + controlnet_res[-1]
+            res_stack = [r + a for r, a in zip(res_stack, controlnet_res[:-1])]
     return x
 
 
-def sd_unet_forward(params: Params, sample, timestep, encoder_hidden_states):
+def sd_unet_forward(params: Params, sample, timestep, encoder_hidden_states,
+                    controlnet_res=None, ipadapter_kwargs_list=None):
     """SDUNet.forward (ref :324-343). sample: (B, 4, H/8, W/8) NCHW like the
-    reference API; returns same layout."""
+    reference API; returns same layout. controlnet_res: NCHW residual list
+    from svi_tpu.models.controlnets (inserted after block 30,
+    ref dancer.py:32)."""
     x = jnp.moveaxis(sample, 1, -1)
     t = timestep_embedding(jnp.atleast_1d(timestep), 320).astype(x.dtype)
     t = _dense(params["time_embedding"]["2"],
                jax.nn.silu(_dense(params["time_embedding"]["0"], t)))
     x = _conv2d(params["conv_in"], x)
+    if controlnet_res is not None:
+        controlnet_res = [jnp.moveaxis(r, 1, -1).astype(x.dtype)
+                          for r in controlnet_res]
     # VAE-eps deviation note: UNet resnets use eps 1e-5, attn groupnorms 1e-6
-    x = _run_plan(SD_UNET_PLAN, params["blocks"], x, t, encoder_hidden_states)
+    x = _run_plan(SD_UNET_PLAN, params["blocks"], x, t, encoder_hidden_states,
+                  controlnet_res=controlnet_res, controlnet_insert_at=30,
+                  ipadapter_kwargs_list=ipadapter_kwargs_list)
     x = _group_norm(params["conv_norm_out"], x, eps=1e-5)
     x = _conv2d(params["conv_out"], jax.nn.silu(x))
     return jnp.moveaxis(x, -1, 1)
@@ -276,12 +323,14 @@ def sd_vae_decode(params: Params, latents, scaling_factor=VAE_SCALING_FACTOR):
 
 
 def clip_encoder_scan(encoders: Params, embeds, num_heads=12, quick_gelu=True,
-                      n_run=None):
+                      n_run=None, causal=True):
     """Scan stacked CLIPEncoderLayer params (ref sd_text_encoder.py:5-37):
-    pre-LN causal self-attention + (quick)GELU MLP. Returns the hidden state
-    after running the first `n_run` layers (default: all)."""
+    pre-LN (optionally causal) self-attention + (quick)GELU MLP. Returns the
+    hidden state after running the first `n_run` layers (default: all)."""
     s = embeds.shape[1]
     mask = jnp.triu(jnp.full((s, s), float("-inf"), jnp.float32), 1)[None, None]
+    if not causal:
+        mask = jnp.zeros((1, 1, s, s), jnp.float32)
     n_layers = encoders["layer_norm1"]["w"].shape[0]
     hd = encoders["attn"]["to_q"]["w"].shape[-1] // num_heads
     n_run = n_layers if n_run is None else n_run

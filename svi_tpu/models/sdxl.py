@@ -63,10 +63,12 @@ SDXL_UNET_PLAN = (
 
 
 def sdxl_unet_forward(params: Params, sample, timestep, encoder_hidden_states,
-                      add_time_id, add_text_embeds):
+                      add_time_id, add_text_embeds, controlnet_res=None,
+                      ipadapter_kwargs_list=None):
     """SDXLUNet.forward (ref sdxl_unet.py:89-140). NCHW in/out.
     add_time_id: (B*6,) micro-conditioning ints; add_text_embeds: (B, 1280)
-    pooled text embedding."""
+    pooled text embedding. controlnet_res: NCHW residuals inserted after
+    block 22 (ref dancer.py:146)."""
     x = jnp.moveaxis(sample, 1, -1)
     t = timestep_embedding(jnp.atleast_1d(timestep), 320).astype(x.dtype)
     t = _dense(params["time_embedding"]["2"],
@@ -85,7 +87,12 @@ def sdxl_unet_forward(params: Params, sample, timestep, encoder_hidden_states,
     if "text_intermediate_proj" in params:  # Kolors (ref :112)
         ctx = _dense(params["text_intermediate_proj"], ctx)
     x = _conv2d(params["conv_in"], x)
-    x = _run_plan(SDXL_UNET_PLAN, params["blocks"], x, time_emb, ctx)
+    if controlnet_res is not None:
+        controlnet_res = [jnp.moveaxis(r, 1, -1).astype(x.dtype)
+                          for r in controlnet_res]
+    x = _run_plan(SDXL_UNET_PLAN, params["blocks"], x, time_emb, ctx,
+                  controlnet_res=controlnet_res, controlnet_insert_at=22,
+                  ipadapter_kwargs_list=ipadapter_kwargs_list)
     x = _group_norm(params["conv_norm_out"], x, eps=1e-5)
     x = _conv2d(params["conv_out"], jax.nn.silu(x))
     return jnp.moveaxis(x, -1, 1)
