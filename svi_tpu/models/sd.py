@@ -236,7 +236,7 @@ VAE_SCALING_FACTOR = 0.18215
 
 def _run_plan(plan, blocks, x, time_emb, text_emb, eps_res=1e-5,
               controlnet_res=None, controlnet_insert_at=None,
-              ipadapter_kwargs_list=None):
+              ipadapter_kwargs_list=None, motion=None):
     """controlnet_res: channels-last residual list; after executing the plan
     entry at controlnet_insert_at, the last residual is added to the stream
     and the rest elementwise onto the skip stack (ref dancer.py:102-107).
@@ -267,6 +267,8 @@ def _run_plan(plan, blocks, x, time_emb, text_emb, eps_res=1e-5,
             x = _conv2d(p["conv"], x)
         else:
             raise ValueError(kind)
+        if motion is not None and i in motion:  # AnimateDiff (dancer.py 4.2)
+            x = motion[i](x)
         if controlnet_res is not None and i == controlnet_insert_at:
             x = x + controlnet_res[-1]
             res_stack = [r + a for r, a in zip(res_stack, controlnet_res[:-1])]
@@ -274,7 +276,8 @@ def _run_plan(plan, blocks, x, time_emb, text_emb, eps_res=1e-5,
 
 
 def sd_unet_forward(params: Params, sample, timestep, encoder_hidden_states,
-                    controlnet_res=None, ipadapter_kwargs_list=None):
+                    controlnet_res=None, ipadapter_kwargs_list=None,
+                    motion=None):
     """SDUNet.forward (ref :324-343). sample: (B, 4, H/8, W/8) NCHW like the
     reference API; returns same layout. controlnet_res: NCHW residual list
     from svi_tpu.models.controlnets (inserted after block 30,
@@ -290,7 +293,7 @@ def sd_unet_forward(params: Params, sample, timestep, encoder_hidden_states,
     # VAE-eps deviation note: UNet resnets use eps 1e-5, attn groupnorms 1e-6
     x = _run_plan(SD_UNET_PLAN, params["blocks"], x, t, encoder_hidden_states,
                   controlnet_res=controlnet_res, controlnet_insert_at=30,
-                  ipadapter_kwargs_list=ipadapter_kwargs_list)
+                  ipadapter_kwargs_list=ipadapter_kwargs_list, motion=motion)
     x = _group_norm(params["conv_norm_out"], x, eps=1e-5)
     x = _conv2d(params["conv_out"], jax.nn.silu(x))
     return jnp.moveaxis(x, -1, 1)

@@ -64,7 +64,7 @@ SDXL_UNET_PLAN = (
 
 def sdxl_unet_forward(params: Params, sample, timestep, encoder_hidden_states,
                       add_time_id, add_text_embeds, controlnet_res=None,
-                      ipadapter_kwargs_list=None):
+                      ipadapter_kwargs_list=None, motion=None):
     """SDXLUNet.forward (ref sdxl_unet.py:89-140). NCHW in/out.
     add_time_id: (B*6,) micro-conditioning ints; add_text_embeds: (B, 1280)
     pooled text embedding. controlnet_res: NCHW residuals inserted after
@@ -92,7 +92,7 @@ def sdxl_unet_forward(params: Params, sample, timestep, encoder_hidden_states,
                           for r in controlnet_res]
     x = _run_plan(SDXL_UNET_PLAN, params["blocks"], x, time_emb, ctx,
                   controlnet_res=controlnet_res, controlnet_insert_at=22,
-                  ipadapter_kwargs_list=ipadapter_kwargs_list)
+                  ipadapter_kwargs_list=ipadapter_kwargs_list, motion=motion)
     x = _group_norm(params["conv_norm_out"], x, eps=1e-5)
     x = _conv2d(params["conv_out"], jax.nn.silu(x))
     return jnp.moveaxis(x, -1, 1)

@@ -4,6 +4,7 @@ from .hunyuan_video import HunyuanVideoPipeline
 from .hunyuan_image import HunyuanDiTImagePipeline, HunyuanTextEncoderWrapper
 from .sd3_image import SD3ImagePipeline, SD3Prompter
 from .sd_image import SDImagePipeline, SDPrompter
+from .sd_video import SDVideoPipeline, denoise_long_video
 from .sdxl_image import SDXLImagePipeline, SDXLPrompter
 from .svi_video import SVIVideoPipeline, TeaCache, model_fn_wan_video
 from .svi_video_dance import SVIDanceVideoPipeline
@@ -19,6 +20,8 @@ __all__ = [
     "FluxPrompter",
     "SDImagePipeline",
     "SDPrompter",
+    "SDVideoPipeline",
+    "denoise_long_video",
     "SD3ImagePipeline",
     "SD3Prompter",
     "SDXLImagePipeline",
