@@ -171,6 +171,8 @@ def _attention_block(p, x, time_emb, text_emb, num_heads, head_dim, eps=1e-6,
     for tid, tp in enumerate(p["transformer_blocks"]):
         ip = None if ipadapter_kwargs is None else ipadapter_kwargs.get(tid)
         y = _transformer_block(tp, y, ctx, num_heads, head_dim, ipadapter=ip)
+    if "proj_out" not in p:  # need_proj_out=False (ref :200-205, SVD)
+        return y.reshape(b, h, w, c)
     y = _dense(p["proj_out"], y).reshape(b, h, w, c)
     return y + residual
 
@@ -433,12 +435,14 @@ def _block_from(sd, i, desc):
                 "ff": _lin_from(sd, f"{t}.ff"),
             })
             j += 1
-        return {
+        p = {
             "norm": _norm_from(sd, f"{b}.norm"),
             "proj_in": _lin_from(sd, f"{b}.proj_in"),
-            "proj_out": _lin_from(sd, f"{b}.proj_out"),
             "transformer_blocks": blocks,
         }
+        if f"{b}.proj_out.weight" in sd:  # need_proj_out=False in SVD
+            p["proj_out"] = _lin_from(sd, f"{b}.proj_out")
+        return p
     if kind == "vae_attn":
         blocks = []
         j = 0

@@ -6,12 +6,14 @@ from .sd3_image import SD3ImagePipeline, SD3Prompter
 from .sd_image import SDImagePipeline, SDPrompter
 from .sd_video import SDVideoPipeline, denoise_long_video
 from .sdxl_image import SDXLImagePipeline, SDXLPrompter
+from .svd_video import SVDVideoPipeline
 from .svi_video import SVIVideoPipeline, TeaCache, model_fn_wan_video
 from .svi_video_dance import SVIDanceVideoPipeline
 from .svi_video_talk import SVITalkVideoPipeline
 from .wan_video import WanVideoPipeline
 
 __all__ = [
+    "SVDVideoPipeline",
     "HunyuanVideoPipeline",
     "CogVideoPipeline",
     "HunyuanDiTImagePipeline",
