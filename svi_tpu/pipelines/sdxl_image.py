@@ -51,16 +51,45 @@ class SDXLPrompter:
         return pooled[0:1], emb.reshape(1, n * emb.shape[1], -1)
 
 
+class KolorsPrompter:
+    """Ref kolors_prompter.py:304-354: ChatGLM encoding to 256 left-padded
+    tokens; returns (pooled (1,4096), prompt_emb (1,256,4096)).
+    `tokenizer` is a kolors SPTokenizer-like object (models/kolors.py)."""
+
+    def __init__(self, tokenizer=None):
+        self.tokenizer = tokenizer
+
+    def encode_prompt(self, chatglm_params, _unused, prompt, clip_skip=1,
+                      clip_skip_2=2, max_length=256):
+        from ..models import kolors
+
+        ids, mask, pos = kolors.kolors_tokenize(prompt, self.tokenizer,
+                                                max_length)
+        pooled, emb = kolors.kolors_encode_prompt(
+            chatglm_params, jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(pos), clip_skip_2=clip_skip_2)
+        return pooled, emb
+
+
 class SDXLImagePipeline:
-    """Ref sdxl_image.py:15-232 (ControlNet / IP-Adapter / Kolors ChatGLM
-    prompting not implemented yet; tracked in ROADMAP.md)."""
+    """Ref sdxl_image.py:15-232. Passing chatglm_params switches to Kolors:
+    the prompter becomes KolorsPrompter and the scheduler becomes
+    EnhancedDDIMScheduler(beta_end=0.014, num_train_timesteps=1100)
+    (ref :64-68); the UNet params carry the is_kolors projections.
+    (Pipeline-level ControlNet / IP-Adapter wiring tracked in ROADMAP.md.)"""
 
     def __init__(self, unet_params, text_encoder_params=None,
                  text_encoder_2_params=None, vae_encoder_params=None,
                  vae_decoder_params=None, tokenizer=None, tokenizer_2=None,
-                 dtype=jnp.float32):
-        self.scheduler = EnhancedDDIMScheduler()
-        self.prompter = SDXLPrompter(tokenizer, tokenizer_2)
+                 chatglm_params=None, dtype=jnp.float32):
+        if chatglm_params is not None:
+            self.scheduler = EnhancedDDIMScheduler(beta_end=0.014,
+                                                   num_train_timesteps=1100)
+            self.prompter = KolorsPrompter(tokenizer)
+            text_encoder_params = chatglm_params
+        else:
+            self.scheduler = EnhancedDDIMScheduler()
+            self.prompter = SDXLPrompter(tokenizer, tokenizer_2)
         cast = lambda p: (None if p is None else
                           jax.tree.map(lambda a: jnp.asarray(a, dtype), p))
         self.unet_params = cast(unet_params)
