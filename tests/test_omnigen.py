@@ -1,0 +1,210 @@
+"""OmniGen golden parity vs the reference torch module (tiny Phi-3 config
+with su/LongRoPE scaling), collator parity, and condition-KV-cache
+consistency."""
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from svi_tpu.models import omnigen as og
+from svi_tpu.prompters import omnigen_prompter as ogp
+
+from reference_loader import load_ref_module
+
+
+def _randn_state(module, seed, scale=0.05):
+    torch.manual_seed(seed)
+    state = module.state_dict()
+    for k in state:
+        state[k] = torch.randn_like(state[k]) * scale
+    module.load_state_dict(state)
+    return {k: v.clone() for k, v in state.items()}
+
+
+TINY_ROPE = (
+    ("base", 10000.0),
+    ("max_position_embeddings", 128),
+    ("original_max_position_embeddings", 64),
+    ("short_factor", (1.1, 1.3, 1.5, 1.7, 1.9, 2.1, 2.3, 2.5)),
+    ("long_factor", (2.0,) * 8),
+)
+
+
+def _tiny_ref_model():
+    ref = load_ref_module("diffsynth.models.omnigen")
+    from transformers import Phi3Config
+
+    cfg = Phi3Config(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=50,
+        rms_norm_eps=1e-5, rope_theta=10000.0, max_position_embeddings=128,
+        original_max_position_embeddings=64,
+        rope_scaling={"type": "su",
+                      "short_factor": [1.1, 1.3, 1.5, 1.7, 1.9, 2.1, 2.3,
+                                       2.5],
+                      "long_factor": [2.0] * 8},
+        use_cache=False, attention_dropout=0.0, pad_token_id=0)
+    model = ref.OmniGenOriginalModel(cfg, patch_size=2, in_channels=4,
+                                     pos_embed_max_size=16).eval()
+    state = _randn_state(model, 0)
+    params = og.omnigen_params_from_torch(state)
+
+    # The reference's Phi3Transformer targets transformers<=4.45 where
+    # decoder layers computed rope from position_ids; installed transformers
+    # needs position_embeddings injected. Shim the layer forwards (golden
+    # harness only — reference code untouched).
+    rotary = model.llm.rotary_emb
+
+    def _shim(orig):
+        def fwd(hidden_states, attention_mask=None, position_ids=None, **kw):
+            kw["position_embeddings"] = rotary(hidden_states, position_ids)
+            out = orig(hidden_states, attention_mask=attention_mask,
+                       position_ids=position_ids, **kw)
+            # modern layers return a bare tensor; the reference indexes [0]
+            return out if isinstance(out, tuple) else (out,)
+        return fwd
+
+    for layer in model.llm.layers:
+        layer.forward = _shim(layer.forward)
+    return ref, model, params
+
+
+def _collated_inputs(h=64, w=64, img_hw=None):
+    """Build ids/masks via our numpy collator (parity-tested separately).
+    h/w and img_hw are PIXEL sizes (tokens = h*w/256, ref :259-262)."""
+    ids = [1, 5, 6, 7, 8]
+    spans = None
+    if img_hw is not None:
+        size = img_hw[0] * img_hw[1] // 256
+        ids = ids[:3] + [0] * size + ids[3:]
+        spans = [[3, 3 + size]]
+    mllm = {"input_ids": ids,
+            "pixel_values": [0] if spans else None, "image_sizes": spans}
+    padded, pos, mask, _, _, sizes = ogp.process_mllm_input([mllm], [[h, w]])
+    return padded, pos, mask, sizes
+
+
+def test_omnigen_forward_parity_text_only():
+    _, model, params = _tiny_ref_model()
+    padded, pos, mask, _ = _collated_inputs()
+    torch.manual_seed(1)
+    x = torch.randn(1, 4, 8, 8) * 0.5
+    t = torch.tensor([0.4])
+    with torch.no_grad():
+        ref_out = model(
+            x, t, torch.from_numpy(padded), None, {},
+            torch.from_numpy(mask).float(), torch.from_numpy(pos),
+            return_past_key_values=False).numpy()
+    ours, _ = og.omnigen_forward(
+        params, jnp.asarray(x.numpy()), jnp.asarray(t.numpy()),
+        jnp.asarray(padded), [], (), jnp.asarray(mask), jnp.asarray(pos),
+        num_heads=4, num_kv_heads=2, rope_cfg=TINY_ROPE,
+        pos_embed_max_size=16)
+    assert np.asarray(ours).shape == ref_out.shape
+    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_omnigen_forward_parity_with_reference_image():
+    _, model, params = _tiny_ref_model()
+    padded, pos, mask, sizes = _collated_inputs(img_hw=(64, 64))
+    torch.manual_seed(2)
+    x = torch.randn(1, 4, 8, 8) * 0.5
+    ref_img_latent = torch.randn(1, 4, 8, 8) * 0.5
+    t = torch.tensor([0.7])
+    with torch.no_grad():
+        ref_out = model(
+            x, t, torch.from_numpy(padded), [ref_img_latent], sizes,
+            torch.from_numpy(mask).float(), torch.from_numpy(pos),
+            return_past_key_values=False).numpy()
+    frozen = tuple(sorted((k, tuple(map(tuple, v)))
+                          for k, v in sizes.items()))
+    ours, _ = og.omnigen_forward(
+        params, jnp.asarray(x.numpy()), jnp.asarray(t.numpy()),
+        jnp.asarray(padded), [jnp.asarray(ref_img_latent.numpy())], frozen,
+        jnp.asarray(mask), jnp.asarray(pos), num_heads=4, num_kv_heads=2,
+        rope_cfg=TINY_ROPE, pos_embed_max_size=16)
+    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_omnigen_collator_parity():
+    ref = load_ref_module("diffsynth.prompters.omnigen_prompter")
+    coll = ref.OmniGenCollator()
+    mllm = [{"input_ids": [1, 5, 6, 0, 0, 0, 7],
+             "pixel_values": [torch.zeros(3, 16, 16)],
+             "image_sizes": [[3, 6]]},
+            {"input_ids": [1, 5], "pixel_values": None, "image_sizes": None}]
+    import copy
+
+    rp, rpos, rmask, rpad, _, rsizes = coll.process_mllm_input(
+        copy.deepcopy(mllm), [[64, 64], [32, 32]])
+    op, opos, omask, opad, _, osizes = ogp.process_mllm_input(
+        copy.deepcopy(mllm), [[64, 64], [32, 32]])
+    np.testing.assert_array_equal(op, rp.numpy())
+    np.testing.assert_array_equal(opos, rpos.numpy())
+    np.testing.assert_array_equal(omask, rmask.numpy())
+    assert {k: v for k, v in osizes.items()} == rsizes
+    assert (opad[0] is None) == (rpad[0] is None)
+
+
+def test_omnigen_pos_embed_parity():
+    ref = load_ref_module("diffsynth.models.omnigen")
+    ref_pe = ref.get_2d_sincos_pos_embed(64, 16, interpolation_scale=1.0,
+                                         base_size=8)
+    ours = og.get_2d_sincos_pos_embed(64, 16, interpolation_scale=1.0,
+                                      base_size=8)
+    np.testing.assert_allclose(ours, ref_pe, rtol=1e-6, atol=1e-6)
+
+
+def test_omnigen_kv_cache_consistency():
+    """Cached suffix forward must equal the full forward (the reference's
+    OmniGenCache semantics, pipelines/omnigen_image.py:95-120)."""
+    _, _, params = _tiny_ref_model()
+    padded, pos, mask, _ = _collated_inputs()
+    x = jnp.asarray(np.random.RandomState(3).randn(1, 4, 8, 8)
+                    .astype(np.float32))
+    t = jnp.asarray([0.5], jnp.float32)
+    full, kv = og.omnigen_forward(
+        params, x, t, jnp.asarray(padded), [], (), jnp.asarray(mask),
+        jnp.asarray(pos), num_heads=4, num_kv_heads=2, rope_cfg=TINY_ROPE,
+        pos_embed_max_size=16, return_kv=True)
+    num_img = 8 * 8 // 4
+    cached, _ = og.omnigen_forward(
+        params, x, t, None, [], (), jnp.asarray(mask[:, -(num_img + 1):, :]),
+        jnp.asarray(pos[:, -(num_img + 1):]), num_heads=4, num_kv_heads=2,
+        rope_cfg=TINY_ROPE, pos_embed_max_size=16, kv_cache=kv)
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_omnigen_pipeline_smoke():
+    """End-to-end glue at tiny config: separate-CFG denoise with the
+    condition KV cache, SDXL VAE decode, PIL image out."""
+    from svi_tpu.pipelines.omnigen_image import OmnigenImagePipeline
+    from svi_tpu.prompters.omnigen_prompter import OmniGenPrompter
+
+    _, _, params = _tiny_ref_model()
+
+    # a real tiny VAE would dominate the test budget; the denoise loop is
+    # the subject here, so stub the decode
+    import svi_tpu.pipelines.omnigen_image as ogp_mod
+
+    pipe = OmnigenImagePipeline(params, prompter=OmniGenPrompter(
+        lambda s: [1] + [min(40, 5 + (hash(c) % 8)) for c in s[:6]]),
+        num_heads=4, num_kv_heads=2, rope_cfg=TINY_ROPE)
+    pipe.transformer_params = params
+
+    def fake_decode(p, lat):
+        # fold the latents into the output so non-finite values surface
+        return jnp.broadcast_to(jnp.tanh(lat.mean()), (1, 3, 16, 16))
+
+    orig = ogp_mod.sdxl.sdxl_vae_decode
+    ogp_mod.sdxl.sdxl_vae_decode = fake_decode
+    try:
+        img = pipe("a cat", height=16, width=16, num_inference_steps=2,
+                   seed=0, use_kv_cache=True)
+    finally:
+        ogp_mod.sdxl.sdxl_vae_decode = orig
+    assert img.size == (16, 16)
