@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.attention import flash_attention
 from .sd import Params, _dense, _lin_from, _t, timestep_embedding
@@ -115,10 +116,21 @@ def _attn(q, k, v, mask=None):
     return jnp.einsum("bnsk,bknd->bsnd", probs.astype(v.dtype), v)
 
 
+def _ip_attend(x, q, ipadapter):
+    """interact_with_ipadapter (ref flux_dit.py:7-12): extra attention of the
+    given queries onto the IP tokens, scaled and added. x (B,S,D_model);
+    q (B,S,N,D); ipadapter dict ip_k/ip_v (B,T,N,D) + scale."""
+    b, s = x.shape[:2]
+    o = flash_attention(q, ipadapter["ip_k"].astype(q.dtype),
+                        ipadapter["ip_v"].astype(q.dtype))
+    return x + ipadapter.get("scale", 1.0) * o.reshape(b, s, -1)
+
+
 def _flux_joint_attention(p, xa, xb, cos, sin, num_heads, head_dim,
-                          only_out_a=False, mask=None):
+                          only_out_a=False, mask=None, ipadapter=None):
     """FluxJointAttention.forward (ref flux_dit.py:73-106): text (b) tokens
-    lead the concatenated sequence."""
+    lead the concatenated sequence. The IP-Adapter attends with the
+    PRE-rope image queries (ref :98-99 uses q_a before apply_rope)."""
     sb = xb.shape[1]
     qa, ka, va = _qkv_rms(p["a_to_qkv"], xa, num_heads, head_dim,
                           p["norm_q_a"], p["norm_k_a"])
@@ -129,14 +141,17 @@ def _flux_joint_attention(p, xa, xb, cos, sin, num_heads, head_dim,
     v = jnp.concatenate([vb, va], axis=1)
     o = _attn(q, k, v, mask)
     o = o.reshape(o.shape[0], o.shape[1], num_heads * head_dim)
-    oa = _dense(p["a_to_out"], o[:, sb:])
+    oa = o[:, sb:]
+    if ipadapter is not None:
+        oa = _ip_attend(oa, qa, ipadapter)
+    oa = _dense(p["a_to_out"], oa)
     if only_out_a:
         return oa
     return oa, _dense(p["b_to_out"], o[:, :sb])
 
 
 def _flux_joint_block(p, xa, xb, temb, cos, sin, num_heads, head_dim,
-                      mask=None):
+                      mask=None, ipadapter=None):
     """FluxJointTransformerBlock.forward (ref flux_dit.py:110-151)."""
     shift_a, scale_a, gate_a, shift_mlp_a, scale_mlp_a, gate_mlp_a = \
         _ada_mod(p["norm1_a"], temb, 6)
@@ -145,7 +160,8 @@ def _flux_joint_block(p, xa, xb, temb, cos, sin, num_heads, head_dim,
     na = _ln_nowb(xa) * (1 + scale_a) + shift_a
     nb = _ln_nowb(xb) * (1 + scale_b) + shift_b
     attn_a, attn_b = _flux_joint_attention(p["attn"], na, nb, cos, sin,
-                                           num_heads, head_dim, mask=mask)
+                                           num_heads, head_dim, mask=mask,
+                                           ipadapter=ipadapter)
     xa = xa + gate_a * attn_a
     na = _ln_nowb(xa) * (1 + scale_mlp_a) + shift_mlp_a
     xa = xa + gate_mlp_a * _ff(p["ff_a"], na)
@@ -155,10 +171,12 @@ def _flux_joint_block(p, xa, xb, temb, cos, sin, num_heads, head_dim,
     return xa, xb
 
 
-def _flux_single_block(p, x, temb, cos, sin, num_heads, head_dim, mask=None):
+def _flux_single_block(p, x, temb, cos, sin, num_heads, head_dim, mask=None,
+                       ipadapter=None):
     """FluxSingleTransformerBlock.forward (ref flux_dit.py:205-260): one fused
     qkv+mlp projection, attention and tanh-GELU MLP concatenated into a single
-    output projection, gated residual."""
+    output projection, gated residual. The IP-Adapter here attends with the
+    POST-rope queries over the full sequence (ref :237-243)."""
     dim = x.shape[-1]
     emb = _dense(p["norm"]["linear"], jax.nn.silu(temb))
     shift, scale, gate = jnp.split(emb[:, None], 3, axis=2)
@@ -171,6 +189,8 @@ def _flux_single_block(p, x, temb, cos, sin, num_heads, head_dim, mask=None):
     k = _apply_rope(_rms(qkv[:, :, 1], p["norm_k_a"]["w"]), cos, sin)
     o = _attn(q, k, qkv[:, :, 2], mask)
     o = o.reshape(b, s, num_heads * head_dim)
+    if ipadapter is not None:
+        o = _ip_attend(o, q, ipadapter)
     mlp = jax.nn.gelu(mlp.astype(jnp.float32), approximate=True).astype(x.dtype)
     return x + gate * _dense(p["proj_out"], jnp.concatenate([o, mlp], axis=2))
 
@@ -205,10 +225,17 @@ def _unpatchify(x, h, w):
 
 def flux_dit_forward(params: Params, hidden_states, timestep, prompt_emb,
                      pooled_prompt_emb, guidance=None, text_ids=None,
-                     image_ids=None, attn_mask=None):
+                     image_ids=None, attn_mask=None, controlnet_res=None,
+                     ipadapter=None):
     """FluxDiT.forward (ref flux_dit.py:404-470). hidden_states (B,16,H,W);
     prompt_emb (B,S,4096) T5 states; pooled (B,768) CLIP; guidance scalar per
-    sample (embedded *1000 when the guidance embedder exists)."""
+    sample (embedded *1000 when the guidance embedder exists).
+
+    controlnet_res: optional (joint_res (19,B,S,D), single_res (38,B,S,D))
+    stacks added per block (ref pipelines/flux_image.py:618-636).
+    ipadapter: optional (ip_k (57,B,T,N,D), ip_v, scale) per-block K/V
+    from flux_ipadapter_forward — joint blocks take rows [:19], single
+    blocks rows [19:]."""
     x = hidden_states
     b, _, h, w = x.shape
     dtype = x.dtype
@@ -234,22 +261,45 @@ def flux_dit_forward(params: Params, hidden_states, timestep, prompt_emb,
     cos, sin = flux_rope_tables(jnp.concatenate([text_ids, image_ids], axis=1))
 
     num_heads = xa.shape[-1] // 128
+    n_joint = jax.tree.leaves(params["blocks"])[0].shape[0]
+    joint_res = single_res = None
+    if controlnet_res is not None:
+        joint_res, single_res = controlnet_res
+    ip_joint = ip_single = None
+    if ipadapter is not None:
+        ip_k, ip_v, ip_scale = ipadapter
+        ip_joint = (ip_k[:n_joint], ip_v[:n_joint])
+        ip_single = (ip_k[n_joint:], ip_v[n_joint:])
 
-    def joint_body(carry, p):
+    def joint_body(carry, args):
         a, c_ = carry
+        p, res, ip = args
+        ipk = None if ip is None else {"ip_k": ip[0], "ip_v": ip[1],
+                                       "scale": ip_scale}
         a, c_ = _flux_joint_block(p, a, c_, temb, cos, sin, num_heads, 128,
-                                  mask=attn_mask)
+                                  mask=attn_mask, ipadapter=ipk)
+        if res is not None:
+            a = a + res.astype(a.dtype)
         return (a, c_), None
 
-    (xa, ctx), _ = jax.lax.scan(joint_body, (xa, ctx), params["blocks"])
+    (xa, ctx), _ = jax.lax.scan(joint_body, (xa, ctx),
+                                (params["blocks"], joint_res, ip_joint))
 
     xs = jnp.concatenate([ctx, xa], axis=1)
+    sb = ctx.shape[1]
 
-    def single_body(x_, p):
-        return _flux_single_block(p, x_, temb, cos, sin, num_heads, 128,
-                                  mask=attn_mask), None
+    def single_body(x_, args):
+        p, res, ip = args
+        ipk = None if ip is None else {"ip_k": ip[0], "ip_v": ip[1],
+                                       "scale": ip_scale}
+        x_ = _flux_single_block(p, x_, temb, cos, sin, num_heads, 128,
+                                mask=attn_mask, ipadapter=ipk)
+        if res is not None:
+            x_ = x_.at[:, sb:].add(res.astype(x_.dtype))
+        return x_, None
 
-    xs, _ = jax.lax.scan(single_body, xs, params["single_blocks"])
+    xs, _ = jax.lax.scan(single_body, xs,
+                         (params["single_blocks"], single_res, ip_single))
     xa = xs[:, ctx.shape[1]:]
 
     emb = _dense(params["final_norm_out"]["linear"], jax.nn.silu(temb))
@@ -339,3 +389,197 @@ def flux_vae_encoder_params_from_torch(sd: dict) -> Params:
 
 def flux_vae_decoder_params_from_torch(sd: dict) -> Params:
     return sd3_vae_decoder_params_from_torch(sd)
+
+
+# ---------------------------------------------------------------------------
+# ControlNet (ref flux_controlnet.py)
+# ---------------------------------------------------------------------------
+
+
+def align_res_stack(res, num_blocks):
+    """align_res_stack_to_original_blocks (ref flux_controlnet.py:51-57):
+    res (n, B, S, D) -> (num_blocks, B, S, D) by interval repetition."""
+    n = res.shape[0]
+    interval = (num_blocks + n - 1) // n
+    idx = np.arange(num_blocks) // interval
+    return res[idx]
+
+
+def flux_controlnet_forward(params: Params, hidden_states,
+                            controlnet_conditioning, timestep, prompt_emb,
+                            pooled_prompt_emb, guidance=None, text_ids=None,
+                            image_ids=None, processor_id_index=None,
+                            num_joint_out=19, num_single_out=38):
+    """FluxControlNet.forward (ref flux_controlnet.py:59-103): a truncated
+    FluxDiT whose per-block linear taps become residuals for the full DiT;
+    the control image is patchified into an extra x-embedding; union
+    ControlNets prepend a task-mode embedding to the text tokens.
+
+    Returns (joint_res (num_joint_out,B,S,D), single_res (num_single_out,...))
+    already aligned to the full DiT's block counts."""
+    x = hidden_states
+    b, _, h, w = x.shape
+    dtype = x.dtype
+    if image_ids is None:
+        image_ids = prepare_image_ids(x)
+    if text_ids is None:
+        text_ids = jnp.zeros((b, prompt_emb.shape[1], 3), jnp.float32)
+
+    temb = timestep_embedding(jnp.atleast_1d(timestep), 256).astype(dtype)
+    temb = _dense(params["time_embedder"]["2"],
+                  jax.nn.silu(_dense(params["time_embedder"]["0"], temb)))
+    temb = temb + _dense(
+        params["pooled_text_embedder"]["2"],
+        jax.nn.silu(_dense(params["pooled_text_embedder"]["0"],
+                           pooled_prompt_emb.astype(dtype))))
+    if "guidance_embedder" in params and guidance is not None:
+        g = timestep_embedding(jnp.atleast_1d(guidance) * 1000,
+                               256).astype(dtype)
+        temb = temb + _dense(params["guidance_embedder"]["2"],
+                             jax.nn.silu(_dense(
+                                 params["guidance_embedder"]["0"], g)))
+
+    ctx = _dense(params["context_embedder"], prompt_emb)
+    if "controlnet_mode_embedder" in params:  # union mode (ref :84-88)
+        mode = params["controlnet_mode_embedder"][
+            jnp.asarray([[processor_id_index]])].astype(dtype)
+        ctx = jnp.concatenate([jnp.broadcast_to(mode, (b, 1, ctx.shape[-1])),
+                               ctx], axis=1)
+        text_ids = jnp.concatenate([text_ids[:, :1], text_ids], axis=1)
+    cos, sin = flux_rope_tables(jnp.concatenate([text_ids, image_ids],
+                                                axis=1))
+
+    xa = _dense(params["x_embedder"], _patchify(x))
+    xa = xa + _dense(params["controlnet_x_embedder"],
+                     _patchify(controlnet_conditioning))
+
+    num_heads = xa.shape[-1] // 128
+
+    def joint_body(carry, args):
+        a, c_ = carry
+        p, tap = args
+        a, c_ = _flux_joint_block(p, a, c_, temb, cos, sin, num_heads, 128)
+        return (a, c_), _dense(tap, a)
+
+    (xa, ctx), joint_res = jax.lax.scan(
+        joint_body, (xa, ctx), (params["blocks"],
+                                params["controlnet_blocks"]))
+
+    xs = jnp.concatenate([ctx, xa], axis=1)
+    sb = ctx.shape[1]
+
+    def single_body(x_, args):
+        p, tap = args
+        x_ = _flux_single_block(p, x_, temb, cos, sin, num_heads, 128)
+        return x_, _dense(tap, x_[:, sb:])
+
+    _, single_res = jax.lax.scan(
+        single_body, xs, (params["single_blocks"],
+                          params["controlnet_single_blocks"]))
+
+    return (align_res_stack(joint_res, num_joint_out),
+            align_res_stack(single_res, num_single_out))
+
+
+def flux_controlnet_params_from_torch(sd: dict) -> Params:
+    n_joint = 0
+    while f"blocks.{n_joint}.norm1_a.linear.weight" in sd:
+        n_joint += 1
+    n_single = 0
+    while f"single_blocks.{n_single}.norm.linear.weight" in sd:
+        n_single += 1
+    params = {
+        "time_embedder": {
+            "0": _lin_from(sd, "time_embedder.timestep_embedder.0"),
+            "2": _lin_from(sd, "time_embedder.timestep_embedder.2"),
+        },
+        "pooled_text_embedder": {
+            "0": _lin_from(sd, "pooled_text_embedder.0"),
+            "2": _lin_from(sd, "pooled_text_embedder.2"),
+        },
+        "context_embedder": _lin_from(sd, "context_embedder"),
+        "x_embedder": _lin_from(sd, "x_embedder"),
+        "controlnet_x_embedder": _lin_from(sd, "controlnet_x_embedder"),
+        "blocks": jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[_joint_p(sd, f"blocks.{i}") for i in range(n_joint)]),
+        "single_blocks": jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[_single_p(sd, f"single_blocks.{i}") for i in range(n_single)]),
+        "controlnet_blocks": jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[_lin_from(sd, f"controlnet_blocks.{i}")
+              for i in range(n_joint)]),
+        "controlnet_single_blocks": jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[_lin_from(sd, f"controlnet_single_blocks.{i}")
+              for i in range(n_single)]),
+    }
+    if "guidance_embedder.timestep_embedder.0.weight" in sd:
+        params["guidance_embedder"] = {
+            "0": _lin_from(sd, "guidance_embedder.timestep_embedder.0"),
+            "2": _lin_from(sd, "guidance_embedder.timestep_embedder.2"),
+        }
+    if "controlnet_mode_embedder.weight" in sd:
+        params["controlnet_mode_embedder"] = jnp.asarray(
+            _t(sd["controlnet_mode_embedder.weight"]))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# IP-Adapter (ref flux_ipadapter.py)
+# ---------------------------------------------------------------------------
+
+
+def flux_ipadapter_forward(params: Params, image_emb, scale=1.0,
+                           num_heads=24, head_dim=128):
+    """FluxIpAdapter.forward (ref flux_ipadapter.py:52-74): SigLIP image
+    embedding (B,1152) -> 128 tokens of 4096 via the MLP projector, then
+    per-block K/V projections (k RMS-normed, no affine).
+
+    Returns (ip_k (L,1,T,N,D), ip_v (L,1,T,N,D), scale) for
+    flux_dit_forward(ipadapter=...)."""
+    x = _dense(params["image_proj"]["0"], image_emb)
+    x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
+    x = _dense(params["image_proj"]["2"], x)
+    d = params["image_proj"]["norm"]["w"].shape[0]
+    x = x.reshape(-1, x.shape[-1] // d, d)
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    x = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)
+         * params["image_proj"]["norm"]["w"].astype(jnp.float32)
+         + params["image_proj"]["norm"]["b"].astype(jnp.float32)
+         ).astype(x.dtype)
+    x = x.reshape(1, -1, d)
+
+    def body(_, p):
+        t = x.shape[1]
+        ip_k = _dense(p["to_k_ip"], x).reshape(1, t, num_heads, head_dim)
+        kf = ip_k.astype(jnp.float32)
+        ip_k = (kf * jax.lax.rsqrt((kf * kf).mean(-1, keepdims=True) + 1e-5)
+                ).astype(x.dtype)
+        ip_v = _dense(p["to_v_ip"], x).reshape(1, t, num_heads, head_dim)
+        return None, (ip_k, ip_v)
+
+    _, (ip_k, ip_v) = jax.lax.scan(body, None, params["ipadapter_modules"])
+    return ip_k, ip_v, scale
+
+
+def flux_ipadapter_params_from_torch(sd: dict) -> Params:
+    n = 0
+    while f"ipadapter_modules.{n}.to_k_ip.weight" in sd:
+        n += 1
+    return {
+        "image_proj": {
+            "0": _lin_from(sd, "image_proj.proj.0"),
+            "2": _lin_from(sd, "image_proj.proj.2"),
+            "norm": {"w": jnp.asarray(_t(sd["image_proj.norm.weight"])),
+                     "b": jnp.asarray(_t(sd["image_proj.norm.bias"]))},
+        },
+        "ipadapter_modules": jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[{"to_k_ip": _lin_from(sd, f"ipadapter_modules.{i}.to_k_ip"),
+               "to_v_ip": _lin_from(sd, f"ipadapter_modules.{i}.to_v_ip")}
+              for i in range(n)]),
+    }

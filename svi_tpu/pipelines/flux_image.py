@@ -7,8 +7,11 @@ default t5_sequence_length 512).
 
 TPU notes: the common cfg_scale==1.0 path is a single jitted DiT call per
 step; RoPE tables are computed inside the jit (constant-folded per shape).
-EliGen entity masks / ControlNet / IP-Adapter / TeaCache-for-Flux are not
-implemented yet (tracked in ROADMAP.md).
+ControlNets enter as `controlnet_units` (params, conditioning image, scale,
+processor index — ref :562-578 + controlnets/controlnet_unit.py:79-91) and
+IP-Adapters as `ipadapter_params` + a precomputed SigLIP image embedding
+(the SigLIP tower is host-side transformers, ref :333-339). EliGen entity
+masks / TeaCache-for-Flux are not implemented yet (tracked in ROADMAP.md).
 """
 
 from __future__ import annotations
@@ -67,9 +70,21 @@ class FluxImagePipeline:
 
     @staticmethod
     @jax.jit
-    def _dit_impl(params, latents, timestep, emb, pooled, guidance):
+    def _dit_impl(params, latents, timestep, emb, pooled, guidance,
+                  controlnet_res=None, ipadapter=None):
         return flux.flux_dit_forward(params, latents, timestep, emb, pooled,
-                                     guidance=guidance)
+                                     guidance=guidance,
+                                     controlnet_res=controlnet_res,
+                                     ipadapter=ipadapter)
+
+    @staticmethod
+    @jax.jit
+    def _controlnet_impl(params, latents, cond, timestep, emb, pooled,
+                         guidance, scale, processor_id_index=None):
+        joint, single = flux.flux_controlnet_forward(
+            params, latents, cond, timestep, emb, pooled, guidance,
+            processor_id_index=processor_id_index)
+        return joint * scale, single * scale
 
     @staticmethod
     @jax.jit
@@ -99,7 +114,14 @@ class FluxImagePipeline:
                  embedded_guidance=3.5, t5_sequence_length=512,
                  input_image=None, denoising_strength=1.0, height=1024,
                  width=1024, num_inference_steps=30, seed=None,
-                 prompt_emb_posi=None, prompt_emb_nega=None):
+                 prompt_emb_posi=None, prompt_emb_nega=None,
+                 controlnet_units=(), ipadapter_params=None,
+                 ipadapter_image_emb=None, ipadapter_scale=1.0):
+        """controlnet_units: iterable of (params, conditioning, scale,
+        processor_id_index) — conditioning is an annotated PIL image (VAE-
+        encoded here, ref prepare_controlnet_input :218-239) or a
+        ready (1,16,h/8,w/8) latent. ipadapter_image_emb: (1, 1152) SigLIP
+        pooled embedding (host-side transformers)."""
         height, width = check_resize_height_width(height, width, factor=16)
         self.scheduler.set_timesteps(num_inference_steps, denoising_strength)
 
@@ -124,15 +146,58 @@ class FluxImagePipeline:
             emb_nega, pooled_nega = prompt_emb_nega
         guidance = jnp.asarray([embedded_guidance], self.dtype)
 
+        cn_units = []
+        for cn_params, cond, scale, proc_idx in controlnet_units:
+            if not hasattr(cond, "shape"):
+                cond = jax.jit(flux.flux_vae_encode)(
+                    self.vae_encoder_params,
+                    jnp.asarray(preprocess_image(cond), self.dtype))
+            cn_units.append((cn_params, jnp.asarray(cond, self.dtype),
+                             float(scale), proc_idx))
+        ipadapter = None
+        if ipadapter_params is not None and ipadapter_image_emb is not None:
+            ip_k, ip_v, _ = jax.jit(
+                flux.flux_ipadapter_forward, static_argnames=("scale",))(
+                ipadapter_params,
+                jnp.asarray(ipadapter_image_emb, self.dtype))
+            ipadapter = (ip_k, ip_v, float(ipadapter_scale))
+
+        n_joint = jax.tree.leaves(self.dit_params["blocks"])[0].shape[0]
+        n_single = jax.tree.leaves(
+            self.dit_params["single_blocks"])[0].shape[0]
+
         for i, timestep in enumerate(np.asarray(self.scheduler.timesteps)):
             t = jnp.asarray([timestep], self.dtype)
-            if cfg_scale != 1.0:
+            controlnet_res = None
+            if cn_units:
+                joint = single = 0.0
+                for cn_params, cond, scale, proc_idx in cn_units:
+                    j_, s_ = self._controlnet_impl(
+                        cn_params, latents, cond, t, emb_posi, pooled_posi,
+                        guidance, scale, processor_id_index=proc_idx)
+                    joint, single = joint + j_, single + s_
+                controlnet_res = (joint[:n_joint], single[:n_single])
+            if cfg_scale != 1.0 and controlnet_res is None \
+                    and ipadapter is None:
                 noise_pred = self._cfg_dit_impl(
                     self.dit_params, latents, t, emb_posi, emb_nega,
                     pooled_posi, pooled_nega, guidance, float(cfg_scale))
+            elif cfg_scale != 1.0:
+                # conditioned extras ride the positive branch only
+                # (ref :300-321: enable_controlnet_on_negative off, zero
+                # image embedding on the negative IP branch)
+                posi = self._dit_impl(self.dit_params, latents, t, emb_posi,
+                                      pooled_posi, guidance,
+                                      controlnet_res=controlnet_res,
+                                      ipadapter=ipadapter)
+                nega = self._dit_impl(self.dit_params, latents, t, emb_nega,
+                                      pooled_nega, guidance)
+                noise_pred = nega + cfg_scale * (posi - nega)
             else:
                 noise_pred = self._dit_impl(self.dit_params, latents, t,
-                                            emb_posi, pooled_posi, guidance)
+                                            emb_posi, pooled_posi, guidance,
+                                            controlnet_res=controlnet_res,
+                                            ipadapter=ipadapter)
             latents = jnp.asarray(self.scheduler.step(
                 np.asarray(noise_pred, np.float32),
                 self.scheduler.timesteps[i],
