@@ -1,0 +1,251 @@
+"""Image quality / preference metrics (offline eval tooling).
+
+Behavioral reference: diffsynth/extensions/ImageQualityMetric/ —
+AestheticScore (aesthetic.py:10-148: CLIP ViT-L image features -> 5-layer
+linear MLP), ImageRewardScore (imagereward.py:24-212: BLIP cross-attended
+text features -> same MLP, normalized by fixed mean/std), PickScore
+(pickscore.py:22-57: normalized CLIP-H dot with optional
+logit-scale softmax), CLIPScore / HPScore_v2 (clip.py / hps.py: open_clip
+ViT-H normalized feature dot), MPScore (mps.py:45-97: condition-masked
+cross-attention head), and the model registry (__init__.py:12-148).
+
+The scoring heads are first-party math and run in JAX; the large feature
+towers (CLIP/BLIP/open_clip checkpoints) are injected as host callables —
+`load_preference_model` wires them from transformers when local checkpoint
+paths are given (zero-egress: nothing downloads here; pass the paths the
+reference's modelscope snapshot would have produced).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.sd import _dense, _lin_from
+
+# fixed normalization of the ImageReward head (ref imagereward.py:62-64)
+IMAGE_REWARD_MEAN = 0.16717362830052426
+IMAGE_REWARD_STD = 1.0333394966054072
+
+# ref __init__.py:12-21
+PREFERENCE_MODEL_IDS = ("ImageReward", "Aesthetic", "PickScore", "CLIP",
+                        "HPSv2", "HPSv2.1", "MPS")
+
+
+def score_mlp_forward(params, x):
+    """The 768->1024->128->64->16->1 linear stack shared by the Aesthetic
+    and ImageReward heads (aesthetic.py:10-32 / imagereward.py:24-52; the
+    dropouts are eval no-ops, there are no activations)."""
+    for key in ("0", "2", "4", "6", "7"):
+        x = _dense(params[key], x)
+    return x
+
+
+def score_mlp_params_from_torch(sd: dict):
+    return {k: _lin_from(sd, f"layers.{k}") for k in ("0", "2", "4", "6",
+                                                      "7")}
+
+
+def _normalize(x):
+    xf = jnp.asarray(x, jnp.float32)
+    return xf / jnp.linalg.norm(xf, axis=-1, keepdims=True)
+
+
+class AestheticScore:
+    """ref aesthetic.py:52-148. `image_features_fn(pil_image) -> (1, 768)`
+    CLIP ViT-L projected image features (e.g. transformers
+    CLIPModel.get_image_features)."""
+
+    def __init__(self, mlp_params, image_features_fn):
+        self.mlp_params = mlp_params
+        self.image_features_fn = image_features_fn
+
+    def score(self, images, prompt=""):
+        if not isinstance(images, list):
+            images = [images]
+        out = []
+        for image in images:
+            emb = _normalize(np.asarray(self.image_features_fn(image)))
+            out.append(float(score_mlp_forward(self.mlp_params, emb)[0, 0]))
+        return out
+
+
+class ImageRewardScore:
+    """ref imagereward.py:54-212. `text_features_fn(pil_image, prompt) ->
+    (1, 768)` — BLIP text encoder CLS state cross-attended on the image."""
+
+    def __init__(self, mlp_params, text_features_fn,
+                 mean=IMAGE_REWARD_MEAN, std=IMAGE_REWARD_STD):
+        self.mlp_params = mlp_params
+        self.text_features_fn = text_features_fn
+        self.mean, self.std = mean, std
+
+    def score(self, images, prompt):
+        if not isinstance(images, list):
+            images = [images]
+        out = []
+        for image in images:
+            feat = jnp.asarray(np.asarray(self.text_features_fn(image,
+                                                                prompt)),
+                               jnp.float32)
+            r = score_mlp_forward(self.mlp_params, feat)
+            out.append(float((r[0, 0] - self.mean) / self.std))
+        return out
+
+
+class PickScore:
+    """ref pickscore.py:8-111. `features_fn(pil_image, prompt) ->
+    (image_features (1,D), text_features (1,D), logit_scale float)` from a
+    CLIP-H checkpoint (transformers CLIPModel)."""
+
+    def __init__(self, features_fn):
+        self.features_fn = features_fn
+
+    def _calculate_score(self, image, prompt, softmax=False):
+        img, txt, logit_scale = self.features_fn(image, prompt)
+        img, txt = _normalize(img), _normalize(txt)
+        s = (txt @ img.T)[0]
+        if softmax:
+            s = jax.nn.softmax(float(np.exp(logit_scale)) * s, axis=-1)
+        return float(s[0])
+
+    def score(self, images, prompt, softmax=False):
+        if not isinstance(images, list):
+            images = [images]
+        return [self._calculate_score(im, prompt, softmax) for im in images]
+
+
+class CLIPScore:
+    """ref clip.py:7-97 (and hps.py:9-118 — HPS differs only in checkpoint):
+    diagonal of image@text^T over features the encoder already normalized
+    (open_clip output_dict)."""
+
+    def __init__(self, encode_fn):
+        self.encode_fn = encode_fn  # (pil_image, prompt) -> (img_f, txt_f)
+
+    def _calculate_score(self, image, prompt):
+        img, txt = self.encode_fn(image, prompt)
+        logits = jnp.asarray(np.asarray(img), jnp.float32) \
+            @ jnp.asarray(np.asarray(txt), jnp.float32).T
+        return float(jnp.diagonal(logits)[0])
+
+    def score(self, images, prompt):
+        if not isinstance(images, list):
+            images = [images]
+        return [self._calculate_score(im, prompt) for im in images]
+
+
+HPScore_v2 = CLIPScore  # ref hps.py: same scoring math, HPS checkpoint
+
+MPS_CONDITIONS = {
+    "overall": "light, color, clarity, tone, style, ambiance, artistry, "
+               "shape, face, hair, hands, limbs, structure, instance, "
+               "texture, quantity, attributes, position, number, location, "
+               "word, things",
+    "aesthetics": "light, color, clarity, tone, style, ambiance, artistry",
+    "quality": "shape, face, hair, hands, limbs, structure, instance, "
+               "texture",
+    "semantic": "quantity, attributes, position, number, location",
+}
+
+
+def mps_condition_mask(text_f, condition_f, threshold=0.3):
+    """ref mps.py:84-89: token-level text/condition similarity -> additive
+    -inf mask where below 30% of the max. text_f (B,S,D), condition_f
+    (B,Sc,D); returns (B, 1, S) f32 additive mask."""
+    sim = jnp.einsum("bid,bjd->bji", jnp.asarray(text_f, jnp.float32),
+                     jnp.asarray(condition_f, jnp.float32))
+    sim = jnp.max(sim, axis=1, keepdims=True)
+    sim = sim / jnp.max(sim)
+    return jnp.where(sim > threshold, 0.0, -jnp.inf).astype(jnp.float32)
+
+
+class MPScore:
+    """ref mps.py:27-129. The CLIP towers + cross_model head live in the MPS
+    checkpoint (vendored trainer module); injected as callables:
+    `text_features_fn(prompt) -> (token_states, pooled)`,
+    `image_features_fn(pil_image) -> token_states`,
+    `cross_fn(image_f, text_f, mask) -> (B, S, D)` and `logit_scale`."""
+
+    def __init__(self, text_features_fn, image_features_fn, cross_fn,
+                 logit_scale, condition="overall"):
+        self.text_features_fn = text_features_fn
+        self.image_features_fn = image_features_fn
+        self.cross_fn = cross_fn
+        self.logit_scale = logit_scale
+        self.condition_prompt = MPS_CONDITIONS[condition]
+
+    def _calculate_score(self, image, prompt):
+        text_f, text_features = self.text_features_fn(prompt)
+        image_f = self.image_features_fn(image)
+        condition_f, _ = self.text_features_fn(self.condition_prompt)
+        mask = mps_condition_mask(text_f, condition_f)
+        mask = jnp.repeat(mask, np.asarray(image_f).shape[1], axis=1)
+        image_features = np.asarray(self.cross_fn(image_f, text_f,
+                                                  mask))[:, 0, :]
+        image_features = _normalize(image_features)
+        text_features = _normalize(text_features)
+        s = float(np.exp(self.logit_scale)) * text_features \
+            @ image_features.T
+        return float(s[0, 0])
+
+    def score(self, images, prompt):
+        if not isinstance(images, list):
+            images = [images]
+        return [self._calculate_score(im, prompt) for im in images]
+
+
+def load_preference_model(model_name, device="cpu", path=None):
+    """ref __init__.py:124-148 API. `path` is the local checkpoint dict for
+    the model (the reference downloads it via modelscope; this environment
+    has no egress, so paths must exist locally)."""
+    if model_name not in PREFERENCE_MODEL_IDS:
+        raise ValueError(f"unknown preference model {model_name!r}; "
+                         f"expected one of {PREFERENCE_MODEL_IDS}")
+    if path is None:
+        raise FileNotFoundError(
+            f"no local checkpoint paths for {model_name!r}: this build has "
+            "no network egress; download the reference's modelscope "
+            "snapshot and pass its load_path dict")
+    if model_name == "Aesthetic":
+        from safetensors import safe_open
+        from transformers import AutoModel, AutoProcessor
+
+        with safe_open(path["aesthetic_predictor"], framework="np") as f:
+            sd = {k: f.get_tensor(k) for k in f.keys()}
+        mlp_params = score_mlp_params_from_torch(sd)
+        clip = AutoModel.from_pretrained(path["clip-large"]).eval()
+        proc = AutoProcessor.from_pretrained(path["clip-large"])
+
+        def image_features_fn(image):
+            import torch
+
+            with torch.no_grad():
+                px = proc(images=image, return_tensors="pt").pixel_values
+                return clip.get_image_features(px).numpy()
+
+        return AestheticScore(mlp_params, image_features_fn)
+    if model_name == "PickScore":
+        from transformers import AutoModel, AutoProcessor
+
+        clip = AutoModel.from_pretrained(path["pickscore"]).eval()
+        proc = AutoProcessor.from_pretrained(path["clip-h"])
+
+        def features_fn(image, prompt):
+            import torch
+
+            with torch.no_grad():
+                px = proc(images=image, return_tensors="pt").pixel_values
+                tx = proc(text=prompt, padding=True, truncation=True,
+                          max_length=77, return_tensors="pt")
+                return (clip.get_image_features(pixel_values=px).numpy(),
+                        clip.get_text_features(**tx).numpy(),
+                        float(clip.logit_scale))
+
+        return PickScore(features_fn)
+    raise NotImplementedError(
+        f"{model_name!r} needs its vendored checkpoint stack (BLIP / "
+        "open_clip / MPS trainer); construct the scorer class directly "
+        "with encoder callables over your local checkpoints")

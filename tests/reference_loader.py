@@ -113,6 +113,16 @@ def _ensure_stubs():
         sys.modules["diffusers.utils"] = dutils
         sys.modules["diffusers.utils.torch_utils"] = dutils_torch
 
+    if "modelscope" not in sys.modules:
+        ms = _mk_module("modelscope")
+
+        def snapshot_download(*a, **k):
+            raise FileNotFoundError(
+                "modelscope stub: no network egress in this environment")
+
+        ms.snapshot_download = snapshot_download
+        sys.modules["modelscope"] = ms
+
     if "xfuser" not in sys.modules:
         xfuser = _mk_module("xfuser")
         core = _mk_module("xfuser.core")
@@ -158,6 +168,7 @@ def _ensure_stubs():
 
         tvt.Compose = _Compose
         tvt.Resize = _T
+        tvt.CenterCrop = _T
         tvt.ToTensor = _T
         tvt.ToPILImage = _T
         tvt.Normalize = _Normalize
@@ -208,10 +219,12 @@ def load_reference_package():
     pkg = types.ModuleType("diffsynth")
     pkg.__path__ = [f"{REF}/diffsynth"]
     sys.modules["diffsynth"] = pkg
-    for sub in ["models", "schedulers", "utils", "prompters", "pipelines", "configs"]:
-        mod = types.ModuleType(f"diffsynth.{sub}")
+    for sub in ["models", "schedulers", "utils", "prompters", "pipelines",
+                "configs", "extensions", "extensions/ImageQualityMetric"]:
+        dotted = sub.replace("/", ".")
+        mod = types.ModuleType(f"diffsynth.{dotted}")
         mod.__path__ = [f"{REF}/diffsynth/{sub}"]
-        sys.modules[f"diffsynth.{sub}"] = mod
+        sys.modules[f"diffsynth.{dotted}"] = mod
 
     # Names the SVI pipeline module imports from package roots whose real
     # implementations drag in the whole zoo (model_manager imports every
