@@ -19,41 +19,67 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import sd
+from ..prompters.base_prompter import BasePrompter, tokenize_long_prompt
+from ..prompters import textual_inversion as ti
 from ..schedulers.ddim import EnhancedDDIMScheduler
 from .base import check_resize_height_width, generate_noise, preprocess_image
 
 
-def tokenize_long_prompt(tokenizer, prompt: str, length: int = 77) -> np.ndarray:
-    """Long-prompt chunking (ref base_prompter.py:6-36): tokenize unbounded,
-    round up to a multiple of `length`, reshape to (num_sentence, length)."""
-    tokenizer.model_max_length = 99999999
-    ids = tokenizer(prompt, return_tensors="np").input_ids
-    max_length = (ids.shape[1] + length - 1) // length * length
-    tokenizer.model_max_length = length
-    ids = tokenizer(
-        prompt, return_tensors="np", padding="max_length",
-        max_length=max_length, truncation=True,
-    ).input_ids
-    return ids.reshape(ids.shape[1] // length, length)
-
-
-class SDPrompter:
-    """Minimal SDPrompter (ref sd_prompter.py:9-74): CLIP tokenizer + chunked
-    encoding, flattened back to (1, n*77, 768). Textual-inversion loading and
-    prompt refiners are not implemented."""
+class SDPrompter(BasePrompter):
+    """SDPrompter (ref sd_prompter.py:9-74): CLIP tokenizer + chunked
+    encoding, flattened back to (1, n*77, 768), with textual-inversion
+    pseudo-tokens (:48-68) and the BasePrompter refiner chain."""
 
     def __init__(self, tokenizer=None):
+        super().__init__()
         self.tokenizer = tokenizer  # a transformers CLIPTokenizer(-Fast)
+        self.textual_inversion_dict = {}
+        self.keyword_dict = {}
+        self._extended = None  # (id(base params), extended params) cache
 
-    def encode_prompt(self, text_encoder_params, prompt: str, clip_skip: int = 1):
+    def _ensure_tokenizer(self):
         if self.tokenizer is None:
             from transformers import CLIPTokenizerFast
 
             self.tokenizer = CLIPTokenizerFast.from_pretrained(
                 "openai/clip-vit-large-patch14")
-        ids = tokenize_long_prompt(self.tokenizer, prompt)
+        return self.tokenizer
+
+    def load_textual_inversions(self, model_paths, embedding_dim=768):
+        """Ref sd_prompter.py:48-60: discover (K, 768) embeddings per file,
+        register `<stem>_<i>` pseudo-tokens with the tokenizer; the encoder
+        embedding table is extended lazily at encode time (our params are
+        immutable pytrees)."""
+        self.textual_inversion_dict = ti.load_textual_inversion_dict(
+            model_paths, embedding_dim)
+        tok = self._ensure_tokenizer()
+        for tokens, _ in self.textual_inversion_dict.values():
+            tok.add_tokens(tokens)
+        self.keyword_dict = ti.keyword_replacements(self.textual_inversion_dict)
+        self._extended = None
+
+    def _params_with_inversions(self, text_encoder_params):
+        if not self.textual_inversion_dict:
+            return text_encoder_params
+        key = id(text_encoder_params)
+        if self._extended is None or self._extended[0] != key:
+            table = ti.extend_token_embedding(
+                text_encoder_params["token_embedding"],
+                self.textual_inversion_dict)
+            self._extended = (key,
+                              {**text_encoder_params, "token_embedding": table})
+        return self._extended[1]
+
+    def encode_prompt(self, text_encoder_params, prompt: str, clip_skip: int = 1,
+                      positive: bool = True):
+        prompt = self.process_prompt(prompt, positive=positive)
+        for keyword, replacement in self.keyword_dict.items():
+            if keyword in prompt:
+                prompt = prompt.replace(keyword, replacement)
+        ids = tokenize_long_prompt(self._ensure_tokenizer(), prompt)
         emb = sd.sd_text_encoder_forward(
-            text_encoder_params, jnp.asarray(ids), clip_skip=clip_skip)
+            self._params_with_inversions(text_encoder_params),
+            jnp.asarray(ids), clip_skip=clip_skip)
         return emb.reshape(1, emb.shape[0] * emb.shape[1], -1)
 
 
@@ -102,9 +128,10 @@ class SDImagePipeline:
 
     # -- host-side API -----------------------------------------------------
 
-    def encode_prompt(self, prompt, clip_skip=1):
+    def encode_prompt(self, prompt, clip_skip=1, positive=True):
         return self.prompter.encode_prompt(self.text_encoder_params, prompt,
-                                           clip_skip).astype(self.dtype)
+                                           clip_skip,
+                                           positive=positive).astype(self.dtype)
 
     def vae_output_to_image(self, vae_output) -> "np.ndarray":
         from PIL import Image
@@ -133,7 +160,8 @@ class SDImagePipeline:
         if prompt_emb_posi is None:
             prompt_emb_posi = self.encode_prompt(prompt, clip_skip)
         if prompt_emb_nega is None:
-            prompt_emb_nega = self.encode_prompt(negative_prompt, clip_skip)
+            prompt_emb_nega = self.encode_prompt(negative_prompt, clip_skip,
+                                                 positive=False)
         # equal-length contexts for the batched CFG pass: pad the shorter one
         # with repeats of the final 77-token chunk (a full padding chunk)
         n = max(prompt_emb_posi.shape[1], prompt_emb_nega.shape[1])

@@ -235,6 +235,11 @@ def load_reference_package():
             raise NotImplementedError("stub ModelManager (reference_loader)")
 
     sys.modules["diffsynth.models"].ModelManager = _StubModelManager
+    # prompter modules do `from ..models.model_manager import ModelManager`;
+    # the real model_manager.py imports the whole zoo, so pre-register a stub
+    mm_mod = types.ModuleType("diffsynth.models.model_manager")
+    mm_mod.ModelManager = _StubModelManager
+    sys.modules["diffsynth.models.model_manager"] = mm_mod
 
     class _StubWanPrompter:
         def __init__(self, tokenizer_path=None):
