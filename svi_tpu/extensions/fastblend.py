@@ -420,8 +420,8 @@ class FastBlendSmoother:
         }
 
     @staticmethod
-    def from_model_manager(model_manager):
-        return FastBlendSmoother()
+    def from_model_manager(model_manager, **kwargs):
+        return FastBlendSmoother(**kwargs)
 
     def run(self, frames_guide, frames_style, batch_size, window_size, cfg):
         from PIL import Image

@@ -254,15 +254,18 @@ def params_from_torch_state_dict(sd: dict):
 
 
 class RIFEInterpolater:
-    def __init__(self, params):
+    def __init__(self, params, **call_defaults):
         self.params = params
+        # default kwargs merged into every __call__ (the reference stores
+        # scale/batch_size/interpolate on the instance, RIFE.py:8-18)
+        self.call_defaults = call_defaults
         self._fwd = jax.jit(
             lambda p, x, sl: ifnet_forward(p, x, sl), static_argnums=(2,)
         )
 
-    @staticmethod
-    def from_model_manager(model_manager):
-        return RIFEInterpolater(model_manager.fetch_model("rife")[0])
+    @classmethod
+    def from_model_manager(cls, model_manager, **kwargs):
+        return cls(model_manager.fetch_model("rife")[0], **kwargs)
 
     def _process(self, images):
         """PIL -> (N, H, W, 3) float BGR (the reference channel-swaps, :136)."""
@@ -316,6 +319,9 @@ class RIFESmoother(RIFEInterpolater):
     blend (ref :200-242)."""
 
     def __call__(self, rendered_frames, scale=1.0, batch_size=4, num_iter=1, **kw):
+        scale = self.call_defaults.get("scale", scale)
+        batch_size = self.call_defaults.get("batch_size", batch_size)
+        num_iter = self.call_defaults.get("num_iter", num_iter)
         size = rendered_frames[0].size
         frames = self._process(rendered_frames)
         sl = (4 / scale, 2 / scale, 1 / scale)

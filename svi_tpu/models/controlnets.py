@@ -57,6 +57,55 @@ class ControlNetConfigUnit:
         self.skip_processor = skip_processor
 
 
+class Annotator:
+    """Condition-image preprocessor (ref controlnets/processors.py:8-62).
+    tile/none/inpaint are pass-through; the detector processors (canny,
+    depth, softedge, lineart, openpose, normal) need the controlnet_aux
+    package and its checkpoints — gated, since this environment has neither
+    (they are host-side preprocessing, not TPU compute)."""
+
+    PASSTHROUGH = ("tile", "none", "inpaint")
+    DETECTORS = ("canny", "depth", "softedge", "lineart", "lineart_anime",
+                 "openpose", "normal")
+
+    def __init__(self, processor_id, model_path="models/Annotators",
+                 detect_resolution=None, device=None, skip_processor=False):
+        if processor_id not in self.PASSTHROUGH + self.DETECTORS:
+            raise ValueError(f"Unsupported processor_id: {processor_id}")
+        self.processor_id = processor_id
+        self.detect_resolution = detect_resolution
+        self.processor = None
+        if not skip_processor and processor_id in self.DETECTORS:
+            try:
+                import controlnet_aux.processor as cap
+            except ImportError as e:
+                raise ImportError(
+                    "controlnet_aux is required for the "
+                    f"'{processor_id}' annotator (host-side preprocessing; "
+                    "pass skip_processor=True to feed pre-annotated frames)"
+                ) from e
+            ctor = {"canny": lambda: cap.CannyDetector(),
+                    "depth": lambda: cap.MidasDetector.from_pretrained(model_path),
+                    "softedge": lambda: cap.HEDdetector.from_pretrained(model_path),
+                    "lineart": lambda: cap.LineartDetector.from_pretrained(model_path),
+                    "lineart_anime": lambda: cap.LineartAnimeDetector.from_pretrained(model_path),
+                    "openpose": lambda: cap.OpenposeDetector.from_pretrained(model_path),
+                    "normal": lambda: cap.NormalBaeDetector.from_pretrained(model_path)}
+            self.processor = ctor[processor_id]()
+
+    def __call__(self, image, mask=None):
+        width, height = image.size
+        if self.processor is not None:
+            kwargs = ({"include_body": True, "include_hand": True,
+                       "include_face": True}
+                      if self.processor_id == "openpose" else {})
+            detect_resolution = self.detect_resolution or min(width, height)
+            image = self.processor(image, detect_resolution=detect_resolution,
+                                   image_resolution=min(width, height),
+                                   **kwargs)
+        return image.resize((width, height))
+
+
 def _conditioning_layer(p, x):
     """ControlNetConditioningLayer (ref sd_controlnet.py:6-22):
     conv-silu chain downsampling /8. x: (B,H,W,3) channels-last."""
@@ -194,10 +243,25 @@ def sdxl_controlnet_forward(params: Params, sample, timestep,
 
 class MultiControlNetManager:
     """Ref controlnet_unit.py:21-63: run each unit's model and sum the scaled
-    residual stacks. Units: (forward_fn, params, scale[, processor_id])."""
+    residual stacks. Units: (forward_fn, params, scale[, processor_id]).
+    `processors`: optional Annotator list aligned with units
+    (for process_image, ref :39-47)."""
 
-    def __init__(self, units=()):
+    def __init__(self, units=(), processors=None):
         self.units = list(units)
+        self.processors = list(processors) if processors else None
+
+    def process_image(self, image, processor_id=None):
+        """PIL -> (num_units, 3, H, W) float conditioning stack
+        (ref controlnet_unit.py:39-47)."""
+        import numpy as np
+
+        procs = (self.processors if processor_id is None
+                 else [self.processors[processor_id]])
+        return np.stack([
+            np.asarray(proc(image), np.float32).transpose(2, 0, 1) / 255.0
+            for proc in procs
+        ], axis=0)
 
     def __call__(self, sample, timestep, encoder_hidden_states,
                  conditionings, **kwargs):

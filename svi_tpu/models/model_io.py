@@ -133,6 +133,21 @@ def detect_model_kind(sd: dict) -> Optional[str]:
         return "wan_video_vae"
     if any(k.startswith(("visual.", "model.visual.", "textual.")) for k in keys):
         return "wan_video_image_encoder"
+    # SD-family files in diffsynth naming (what the zoo pipelines consume)
+    if has("motion_modules.0.transformer_blocks.0.pe1"):
+        return "sd_motion_modules"
+    if has("controlnet_blocks.0.weight") and has("controlnet_conv_in.blocks.0.weight"):
+        return "sd_controlnet"
+    if has("time_embedding.0.weight") and has("conv_in.weight") \
+            and has("blocks.2.transformer_blocks.0.attn1.to_q.weight"):
+        return "sd_unet"
+    if has("encoders.0.layer_norm1.weight") and has("token_embedding.weight") \
+            and has("position_embeds"):
+        return "sd_text_encoder"
+    if has("quant_conv.weight"):
+        return "sd_vae_encoder"
+    if has("post_quant_conv.weight"):
+        return "sd_vae_decoder"
     if any(".lora_A." in k or ".lora_B." in k for k in keys):
         return "lora"
     return None
@@ -220,6 +235,55 @@ def fuse_lora_into_dit_params(params: dict, lora_sd: dict, alpha: float = 1.0) -
 # ---------------------------------------------------------------------------
 
 
+def _load_sd_unet(sd):
+    from . import sd as sd_models
+
+    return sd_models.sd_unet_params_from_torch(sd)
+
+
+def _load_sd_text_encoder(sd):
+    from . import sd as sd_models
+
+    return sd_models.sd_text_encoder_params_from_torch(sd)
+
+
+def _load_sd_vae_encoder(sd):
+    from . import sd as sd_models
+
+    return sd_models.sd_vae_encoder_params_from_torch(sd)
+
+
+def _load_sd_vae_decoder(sd):
+    from . import sd as sd_models
+
+    return sd_models.sd_vae_decoder_params_from_torch(sd)
+
+
+def _load_sd_motion(sd):
+    from . import motion
+
+    return motion.motion_params_from_torch(sd)
+
+
+def _load_sd_controlnet(sd):
+    from . import controlnets
+
+    return controlnets.sd_controlnet_params_from_torch(sd)
+
+
+# diffsynth-named SD-family checkpoints -> converter (civitai/diffusers key
+# layouts are out of scope; the reference's per-class state_dict_converters
+# normalize to this naming first)
+_SD_FAMILY_LOADERS = {
+    "sd_unet": _load_sd_unet,
+    "sd_text_encoder": _load_sd_text_encoder,
+    "sd_vae_encoder": _load_sd_vae_encoder,
+    "sd_vae_decoder": _load_sd_vae_decoder,
+    "sd_motion_modules": _load_sd_motion,
+    "sd_controlnet": _load_sd_controlnet,
+}
+
+
 class ModelManager:
     """Loads checkpoints, identifies models, fuses LoRA; pipelines fetch
     converted param pytrees + configs from it by name."""
@@ -261,6 +325,9 @@ class ModelManager:
         elif kind == "wan_video_image_encoder":
             cfg = clip_vision.config_from_state_dict(sd)  # fp32 on purpose
             params = clip_vision.params_from_torch_state_dict(sd, cfg)
+        elif kind in _SD_FAMILY_LOADERS:
+            cfg = None
+            params = _SD_FAMILY_LOADERS[kind](sd)
         else:
             raise ValueError(f"load_model cannot load a '{kind}' file; use load_lora_v2")
         self.models[kind] = (params, cfg)

@@ -47,7 +47,7 @@ class SDVideoPipeline:
     def __init__(self, unet_params, motion_params=None,
                  text_encoder_params=None, vae_encoder_params=None,
                  vae_decoder_params=None, tokenizer=None, dtype=jnp.float32,
-                 use_original_animatediff=True):
+                 use_original_animatediff=True, controlnet=None):
         beta = "linear" if (motion_params is not None
                             and use_original_animatediff) else "scaled_linear"
         self.scheduler = EnhancedDDIMScheduler(beta_schedule=beta)
@@ -61,7 +61,42 @@ class SDVideoPipeline:
         self.text_encoder_params = cast(text_encoder_params)
         self.vae_encoder_params = cast(vae_encoder_params)
         self.vae_decoder_params = cast(vae_decoder_params)
+        self.controlnet = controlnet  # MultiControlNetManager or None
         self.dtype = dtype
+
+    @staticmethod
+    def from_model_manager(model_manager, controlnet_config_units=(),
+                           prompt_refiner_classes=(), **kwargs):
+        """Ref sd_video.py fetch_models: pull sd_unet / text encoder / VAE /
+        motion modules from a ModelManager, build ControlNet units from
+        config units, attach prompt refiners."""
+        from ..models import controlnets as cn
+        from ..models import model_io
+
+        def fetch(name):
+            entry = model_manager.fetch_model(name)
+            return None if entry is None else entry[0]
+
+        units, processors = [], []
+        for cfg_unit in controlnet_config_units:
+            cn_params = cn.sd_controlnet_params_from_torch(
+                model_io.load_state_dict(cfg_unit.model_path))
+            units.append((cn.sd_controlnet_forward, cn_params,
+                          cfg_unit.scale))
+            processors.append(cn.Annotator(cfg_unit.processor_id,
+                                           skip_processor=cfg_unit.skip_processor))
+        controlnet = cn.MultiControlNetManager(units, processors) \
+            if units else None
+
+        pipe = SDVideoPipeline(
+            fetch("sd_unet"), motion_params=fetch("sd_motion_modules"),
+            text_encoder_params=fetch("sd_text_encoder"),
+            vae_encoder_params=fetch("sd_vae_encoder"),
+            vae_decoder_params=fetch("sd_vae_decoder"),
+            controlnet=controlnet, **kwargs)
+        pipe.prompter.load_prompt_refiners(model_manager,
+                                           prompt_refiner_classes)
+        return pipe
 
     def encode_prompt(self, prompt, clip_skip=1):
         return self.prompter.encode_prompt(self.text_encoder_params, prompt,
@@ -96,14 +131,34 @@ class SDVideoPipeline:
             lat.append(sd_models.sd_vae_encode(self.vae_encoder_params, img))
         return jnp.concatenate(lat, axis=0)
 
+    def _prepare_controlnet_frames(self, controlnet_frames, dtype):
+        """PIL frame streams -> (num_units, F, 3, H, W) conditioning stack
+        (ref sdxl_video.py:164-179 / sd_video.py equivalents)."""
+        if controlnet_frames is None:
+            return None
+        if isinstance(controlnet_frames[0], list):  # one stream per unit
+            streams = []
+            for pid, stream in enumerate(controlnet_frames):
+                streams.append(np.stack([
+                    self.controlnet.process_image(f, processor_id=pid)[0]
+                    for f in stream], axis=0))
+            return jnp.asarray(np.stack(streams, axis=0), dtype)
+        # one shared stream annotated per unit
+        return jnp.asarray(np.stack(
+            [self.controlnet.process_image(f) for f in controlnet_frames],
+            axis=1), dtype)
+
     def __call__(self, prompt, negative_prompt="", cfg_scale=7.5, clip_skip=1,
                  num_frames=None, input_frames=None, denoising_strength=1.0,
                  height=512, width=512, num_inference_steps=20,
                  animatediff_batch_size=16, animatediff_stride=8,
-                 smoother=None, smoother_progress_ids=(), seed=None,
+                 controlnet_frames=None, smoother=None,
+                 smoother_progress_ids=(), seed=None,
                  prompt_emb_posi=None, prompt_emb_nega=None):
         height, width = check_resize_height_width(height, width, factor=64)
         self.scheduler.set_timesteps(num_inference_steps, denoising_strength)
+        controlnet_cond = self._prepare_controlnet_frames(controlnet_frames,
+                                                          self.dtype)
 
         if self.motion_params is None:
             noise = np.repeat(generate_noise((1, 4, height // 8, width // 8),
@@ -130,7 +185,13 @@ class SDVideoPipeline:
             def run(emb):
                 def run_window(lo, hi):
                     e = emb if emb.shape[0] == 1 else emb[lo:hi]
-                    return self._unet_window(latents[lo:hi], t, e)
+                    res = None
+                    if self.controlnet is not None \
+                            and controlnet_cond is not None:
+                        res = self.controlnet(latents[lo:hi], t, e,
+                                              controlnet_cond[:, lo:hi])
+                    return self._unet_window(latents[lo:hi], t, e,
+                                             controlnet_res=res)
                 return denoise_long_video(run_window, latents,
                                           animatediff_batch_size,
                                           animatediff_stride)

@@ -72,3 +72,149 @@ def video_frame_count(path: str) -> int:
         return int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     finally:
         cap.release()
+
+
+# ---------------------------------------------------------------------------
+# Lazy frame sources (behavioral ref: diffsynth/data/video.py:7-135)
+# ---------------------------------------------------------------------------
+
+
+class LowMemoryVideo:
+    """Random-access mp4 frames as PIL images (ref data/video.py:7-18;
+    cv2-backed here — no imageio-ffmpeg in this environment)."""
+
+    def __init__(self, file_name):
+        self.file_name = file_name
+        self._len = video_frame_count(file_name)
+
+    def __len__(self):
+        return self._len
+
+    def __getitem__(self, item):
+        from PIL import Image
+
+        return Image.fromarray(load_video_frames(self.file_name, [item])[0])
+
+
+def split_file_name(file_name):
+    """Digit-aware sort key ('frame10.png' after 'frame2.png',
+    ref data/video.py:21-37)."""
+    result, number = [], -1
+    for ch in file_name:
+        if "0" <= ch <= "9":
+            number = max(number, 0) * 10 + ord(ch) - ord("0")
+        else:
+            if number != -1:
+                result.append(number)
+                number = -1
+            result.append(ch)
+    if number != -1:
+        result.append(number)
+    return tuple(result)
+
+
+def search_for_images(folder):
+    import os
+
+    files = [f for f in os.listdir(folder)
+             if f.endswith(".jpg") or f.endswith(".png")]
+    files = sorted(files, key=split_file_name)
+    return [os.path.join(folder, f) for f in files]
+
+
+class LowMemoryImageFolder:
+    """Ref data/video.py:48-62."""
+
+    def __init__(self, folder, file_list=None):
+        import os
+
+        if file_list is None:
+            self.file_list = search_for_images(folder)
+        else:
+            self.file_list = [os.path.join(folder, f) for f in file_list]
+
+    def __len__(self):
+        return len(self.file_list)
+
+    def __getitem__(self, item):
+        from PIL import Image
+
+        return Image.open(self.file_list[item]).convert("RGB")
+
+
+def crop_and_resize(image, height, width):
+    """Aspect-preserving center crop + resize (ref data/video.py:65-78)."""
+    from PIL import Image
+
+    arr = np.array(image)
+    ih, iw = arr.shape[:2]
+    if ih / iw < height / width:
+        cw = int(ih / height * width)
+        left = (iw - cw) // 2
+        arr = arr[:, left:left + cw]
+    else:
+        ch = int(iw / width * height)
+        top = (ih - ch) // 2
+        arr = arr[top:top + ch, :]
+    return Image.fromarray(arr).resize((width, height))
+
+
+class VideoData:
+    """Ref data/video.py:81-135: uniform lazy view over an mp4 or an image
+    folder, optionally cropped/resized and length-clamped."""
+
+    def __init__(self, video_file=None, image_folder=None, height=None,
+                 width=None, **kwargs):
+        if video_file is not None:
+            self.data_type = "video"
+            self.data = LowMemoryVideo(video_file, **kwargs)
+        elif image_folder is not None:
+            self.data_type = "images"
+            self.data = LowMemoryImageFolder(image_folder, **kwargs)
+        else:
+            raise ValueError("Cannot open video or image folder")
+        self.length = None
+        self.set_shape(height, width)
+
+    def raw_data(self):
+        return [self[i] for i in range(len(self))]
+
+    def set_length(self, length):
+        self.length = length
+
+    def set_shape(self, height, width):
+        self.height = height
+        self.width = width
+
+    def __len__(self):
+        return len(self.data) if self.length is None else self.length
+
+    def shape(self):
+        if self.height is not None and self.width is not None:
+            return self.height, self.width
+        frame = self[0]
+        return frame.size[1], frame.size[0]
+
+    def __getitem__(self, item):
+        frame = self.data[item]
+        width, height = frame.size
+        if self.height is not None and self.width is not None \
+                and (self.height != height or self.width != width):
+            frame = crop_and_resize(frame, self.height, self.width)
+        return frame
+
+    def save_images(self, folder):
+        import os
+
+        os.makedirs(folder, exist_ok=True)
+        for i in range(len(self)):
+            self[i].save(os.path.join(folder, f"{i}.png"))
+
+
+def save_frames(frames, save_path):
+    """Ref data/video.py:145-148."""
+    import os
+
+    os.makedirs(save_path, exist_ok=True)
+    for i, frame in enumerate(frames):
+        frame.save(os.path.join(save_path, f"{i}.png"))
