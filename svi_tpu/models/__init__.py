@@ -1,4 +1,4 @@
-from . import clip_vision, cog, controlnets, flux, ipadapter, motion, hunyuan_dit, hunyuan_video, model_io, sd, sd3, sdxl, svd, t5, wan_dit, wan_vae
+from . import clip_vision, cog, controlnets, downloader, flux, ipadapter, motion, hunyuan_dit, hunyuan_video, model_io, sd, sd3, sdxl, svd, t5, tiler, wan_dit, wan_vae
 from .model_io import ModelManager
 
-__all__ = ["clip_vision", "cog", "controlnets", "ipadapter", "motion", "flux", "hunyuan_dit", "hunyuan_video", "model_io", "sd", "sd3", "sdxl", "svd", "t5", "wan_dit", "wan_vae", "ModelManager"]
+__all__ = ["clip_vision", "cog", "controlnets", "downloader", "ipadapter", "motion", "flux", "hunyuan_dit", "hunyuan_video", "model_io", "sd", "sd3", "sdxl", "svd", "t5", "tiler", "wan_dit", "wan_vae", "ModelManager"]

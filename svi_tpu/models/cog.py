@@ -121,8 +121,25 @@ def prepare_rope_tables(height, width, num_frames, embed_dim=64, theta=10000.0):
 
 
 def cog_dit_forward(params: Params, hidden_states, timestep, prompt_emb,
-                    image_rotary_emb=None):
-    """CogDiT.forward (ref cog_dit.py:287-325). hidden_states (B,16,T,H,W)."""
+                    image_rotary_emb=None, tiled=False, tile_size=(60, 90),
+                    tile_stride=(30, 45)):
+    """CogDiT.forward (ref cog_dit.py:287-325). hidden_states (B,16,T,H,W).
+    tiled: whole-forward spatial 2D tiling of the video latent with per-tile
+    RoPE tables (ref :287-296)."""
+    if tiled:
+        from . import tiler as _tiler
+
+        if isinstance(tile_size, int):
+            tile_size = (tile_size, tile_size)
+        if isinstance(tile_stride, int):
+            tile_stride = (tile_stride, tile_stride)
+        out = _tiler.tiled_forward_2dto3d(
+            lambda v: jnp.transpose(cog_dit_forward(
+                params, jnp.transpose(v, (0, 4, 1, 2, 3)), timestep,
+                prompt_emb), (0, 2, 3, 4, 1)),
+            jnp.transpose(hidden_states, (0, 2, 3, 4, 1)),
+            tuple(tile_size), tuple(tile_stride))
+        return jnp.transpose(out, (0, 4, 1, 2, 3))
     x = hidden_states
     b, _, tt, h, w = x.shape
     dtype = x.dtype
@@ -388,10 +405,24 @@ def cog_vae_decode_chunk(params: Params, latents, cache=None):
     return x.transpose(0, 4, 1, 2, 3), cache
 
 
-def cog_vae_encode_video(params: Params, video):
+def cog_vae_encode_video(params: Params, video, tiled=False,
+                         tile_size=(60, 90), tile_stride=(30, 45),
+                         progress_bar=lambda x: x):
     """encode_small_video (ref :339-358): 8-frame chunks (first chunk grabs
-    the odd leading frame), fresh cache per video."""
+    the odd leading frame), fresh cache per video. tiled: feathered spatial
+    tiling in pixel units tile_size*8 (ref encode_video :323-337)."""
     t = video.shape[2]
+    if tiled:
+        from . import tiler as _tiler
+
+        out = _tiler.tiled_forward_2dto3d(
+            lambda v: jnp.transpose(cog_vae_encode_video(
+                params, jnp.transpose(v, (0, 4, 1, 2, 3))), (0, 2, 3, 4, 1)),
+            jnp.transpose(video, (0, 2, 3, 4, 1)),
+            tuple(i * 8 for i in tile_size), tuple(i * 8 for i in tile_stride),
+            scales=(16 / 3, (t // 4 + t % 2) / t, 1 / 8, 1 / 8),
+            progress_bar=progress_bar)
+        return jnp.transpose(out, (0, 4, 1, 2, 3))
     outs, cache = [], None
     for i in range(t // 8):
         tl = i * 8 + t % 2 - (t % 2 and i == 0)
@@ -401,9 +432,23 @@ def cog_vae_encode_video(params: Params, video):
     return jnp.concatenate(outs, axis=2)
 
 
-def cog_vae_decode_video(params: Params, latents):
-    """decode_small_video (ref :254-273): 2-latent-frame chunks."""
+def cog_vae_decode_video(params: Params, latents, tiled=False,
+                         tile_size=(60, 90), tile_stride=(30, 45),
+                         progress_bar=lambda x: x):
+    """decode_small_video (ref :254-273): 2-latent-frame chunks. tiled:
+    feathered spatial tiling in latent units (ref decode_video :237-252)."""
     t = latents.shape[2]
+    if tiled:
+        from . import tiler as _tiler
+
+        out = _tiler.tiled_forward_2dto3d(
+            lambda v: jnp.transpose(cog_vae_decode_video(
+                params, jnp.transpose(v, (0, 4, 1, 2, 3))), (0, 2, 3, 4, 1)),
+            jnp.transpose(latents, (0, 2, 3, 4, 1)),
+            tuple(tile_size), tuple(tile_stride),
+            scales=(3 / 16, (t // 2 * 8 + t % 2) / t, 8, 8),
+            progress_bar=progress_bar)
+        return jnp.transpose(out, (0, 4, 1, 2, 3))
     outs, cache = [], None
     for i in range(t // 2):
         tl = i * 2 + t % 2 - (t % 2 and i == 0)

@@ -118,7 +118,8 @@ def _conditioning_layer(p, x):
 
 def sd_controlnet_forward(params: Params, sample, timestep,
                           encoder_hidden_states, conditioning,
-                          global_pool=False):
+                          global_pool=False, tiled=False, tile_size=64,
+                          tile_stride=32):
     """SDControlNet.forward (ref sd_controlnet.py:96-137). sample NCHW
     latents; conditioning NCHW image in [-1,1]; returns 13 NCHW residuals."""
     x = jnp.moveaxis(sample, 1, -1)
@@ -140,7 +141,8 @@ def sd_controlnet_forward(params: Params, sample, timestep,
             from .sd import _attention_block
 
             x = _attention_block(p, x, t, encoder_hidden_states,
-                                 desc[1], desc[2])
+                                 desc[1], desc[2], tiled=tiled,
+                                 tile_size=tile_size, tile_stride=tile_stride)
         elif desc[0] == "push":
             res_stack.append(x)
         elif desc[0] == "down":
@@ -182,7 +184,8 @@ SDXL_CONTROLNET_TASK_IDS = {
 
 def sdxl_controlnet_forward(params: Params, sample, timestep,
                             encoder_hidden_states, conditioning, processor_id,
-                            add_time_id, add_text_embeds, global_pool=False):
+                            add_time_id, add_text_embeds, global_pool=False,
+                            tiled=False, tile_size=64, tile_stride=32):
     """SDXLControlNetUnion.forward (ref sdxl_controlnet.py:151-219)."""
     task_id = SDXL_CONTROLNET_TASK_IDS[processor_id]
     x = jnp.moveaxis(sample, 1, -1)
@@ -229,7 +232,8 @@ def sdxl_controlnet_forward(params: Params, sample, timestep,
             from .sd import _attention_block
 
             x = _attention_block(p, x, temb, encoder_hidden_states,
-                                 desc[1], desc[2])
+                                 desc[1], desc[2], tiled=tiled,
+                                 tile_size=tile_size, tile_stride=tile_stride)
         elif desc[0] == "push":
             res_stack.append(x)
         elif desc[0] == "down":

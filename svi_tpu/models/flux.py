@@ -36,11 +36,20 @@ FLUX_VAE_SCALING_FACTOR = 0.3611
 FLUX_VAE_SHIFT_FACTOR = 0.1159
 
 
-def flux_vae_encode(params: Params, image):
+def flux_vae_encode(params: Params, image, tiled=False, tile_size=64,
+                    tile_stride=32):
     """FluxVAEEncoder (ref flux_vae.py:5-13): SD3 VAE arch, scale 0.3611 /
-    shift 0.1159."""
+    shift 0.1159. tiled: whole-forward feathered tiling (inherited from
+    SD3VAEEncoder, ref sd3_vae_encoder.py:41-50)."""
     from .sd import _conv2d, _group_norm, _run_plan
 
+    if tiled:
+        from . import tiler
+
+        return jnp.moveaxis(tiler.tiled_forward(
+            lambda t: jnp.moveaxis(
+                flux_vae_encode(params, jnp.moveaxis(t, -1, 1)), 1, -1),
+            jnp.moveaxis(image, 1, -1), tile_size, tile_stride), -1, 1)
     x = jnp.moveaxis(image, 1, -1)
     x = _conv2d(params["conv_in"], x)
     x = _run_plan(SD3_VAE_ENCODER_PLAN, params["blocks"], x, None, None,
@@ -51,10 +60,18 @@ def flux_vae_encode(params: Params, image):
     return jnp.moveaxis(x, -1, 1)
 
 
-def flux_vae_decode(params: Params, latents):
+def flux_vae_decode(params: Params, latents, tiled=False, tile_size=64,
+                    tile_stride=32):
     """FluxVAEDecoder (ref flux_vae.py:16-24)."""
     from .sd import _conv2d, _group_norm, _run_plan
 
+    if tiled:
+        from . import tiler
+
+        return jnp.moveaxis(tiler.tiled_forward(
+            lambda t: jnp.moveaxis(
+                flux_vae_decode(params, jnp.moveaxis(t, -1, 1)), 1, -1),
+            jnp.moveaxis(latents, 1, -1), tile_size, tile_stride), -1, 1)
     x = jnp.moveaxis(latents, 1, -1) / FLUX_VAE_SCALING_FACTOR \
         + FLUX_VAE_SHIFT_FACTOR
     x = _conv2d(params["conv_in"], x)
@@ -226,7 +243,8 @@ def _unpatchify(x, h, w):
 def flux_dit_forward(params: Params, hidden_states, timestep, prompt_emb,
                      pooled_prompt_emb, guidance=None, text_ids=None,
                      image_ids=None, attn_mask=None, controlnet_res=None,
-                     ipadapter=None):
+                     ipadapter=None, tiled=False, tile_size=128,
+                     tile_stride=64):
     """FluxDiT.forward (ref flux_dit.py:404-470). hidden_states (B,16,H,W);
     prompt_emb (B,S,4096) T5 states; pooled (B,768) CLIP; guidance scalar per
     sample (embedded *1000 when the guidance embedder exists).
@@ -235,7 +253,20 @@ def flux_dit_forward(params: Params, hidden_states, timestep, prompt_emb,
     stacks added per block (ref pipelines/flux_image.py:618-636).
     ipadapter: optional (ip_k (57,B,T,N,D), ip_v, scale) per-block K/V
     from flux_ipadapter_forward — joint blocks take rows [:19], single
-    blocks rows [19:]."""
+    blocks rows [19:].
+
+    tiled: whole-forward latent tiling with per-tile RoPE ids (ref
+    flux_dit.py:322-338 — layer-wise tiling impossible due to the global
+    positional embedding)."""
+    if tiled:
+        from . import tiler
+
+        return jnp.moveaxis(tiler.tiled_forward(
+            lambda t: jnp.moveaxis(flux_dit_forward(
+                params, jnp.moveaxis(t, -1, 1), timestep, prompt_emb,
+                pooled_prompt_emb, guidance=guidance, text_ids=text_ids,
+                image_ids=None), 1, -1),
+            jnp.moveaxis(hidden_states, 1, -1), tile_size, tile_stride), -1, 1)
     x = hidden_states
     b, _, h, w = x.shape
     dtype = x.dtype

@@ -149,10 +149,17 @@ def _attention_pool(p, x, num_heads=8):
 
 def hunyuan_dit_forward(params: Params, hidden_states, text_emb, text_emb_t5,
                         text_emb_mask, text_emb_mask_t5, timestep, size_emb,
-                        freq_cis_img, num_layers_down=21):
+                        freq_cis_img, num_layers_down=21, tiled=False,
+                        tile_size=64, tile_stride=32):
     """HunyuanDiT.forward (ref :349-437). hidden_states (B,4,H,W) NCHW;
     text_emb (B,77,1024) BERT states; text_emb_t5 (B,256,2048) raw mT5 states;
-    masks (B,77)/(B,256); size_emb (B,6); freq_cis_img = calc_rope tables."""
+    masks (B,77)/(B,256); size_emb (B,6); freq_cis_img = calc_rope tables.
+
+    tiled: per-BLOCK feathered tiling over the patch grid (ref
+    tiled_block_forward :311-346) — every tile is exactly tile_size^2
+    patches, so freq_cis_img must be the tables for one tile
+    (calc_rope(tile_size*16, tile_size*16), ref hunyuan_image.py:193-206);
+    U-ViT skip residuals are sliced per tile like the hidden states."""
     x = hidden_states
     b, _, h, w = x.shape
     dtype = x.dtype
@@ -193,12 +200,34 @@ def hunyuan_dit_forward(params: Params, hidden_states, text_emb, text_emb_t5,
     num_heads = 16
     head_dim = xa.shape[-1] // num_heads
     residuals = []
-    for i, bp in enumerate(params["blocks"]):
-        residual = residuals.pop() if i >= num_layers_down else None
-        xa = _block(bp, xa, cond, text, cos, sin, num_heads, head_dim,
-                    residual=residual)
-        if i < num_layers_down - 2:
-            residuals.append(xa)
+    if tiled:
+        from .tiler import fast_tiled_forward
+
+        hp, wp = h // 2, w // 2
+        xg = xa.reshape(b, hp, wp, -1)
+        for i, bp in enumerate(params["blocks"]):
+            rg = residuals.pop() if i >= num_layers_down else None
+
+            def tile_fn(hl, hr, wl, wr, _bp=bp, _rg=rg, _xg=xg):
+                n = (hr - hl) * (wr - wl)
+                xt = _xg[:, hl:hr, wl:wr].reshape(b, n, -1)
+                rt = None if _rg is None \
+                    else _rg[:, hl:hr, wl:wr].reshape(b, n, -1)
+                out = _block(_bp, xt, cond, text, cos, sin, num_heads,
+                             head_dim, residual=rt)
+                return out.reshape(b, hr - hl, wr - wl, -1)
+
+            xg = fast_tiled_forward(tile_fn, xg, tile_size, tile_stride)
+            if i < num_layers_down - 2:
+                residuals.append(xg)
+        xa = xg.reshape(b, hp * wp, -1)
+    else:
+        for i, bp in enumerate(params["blocks"]):
+            residual = residuals.pop() if i >= num_layers_down else None
+            xa = _block(bp, xa, cond, text, cos, sin, num_heads, head_dim,
+                        residual=residual)
+            if i < num_layers_down - 2:
+                residuals.append(xa)
 
     # final layer (ref :68-86)
     emb = _dense(params["final_layer"]["adaLN_modulation"],

@@ -94,8 +94,17 @@ def sd_ipadapter_kv(params, image_emb, scale=1.0):
     return ipadapter_kv(params, image_emb, SD_IPADAPTER_MAP, scale)
 
 
-def sdxl_ipadapter_kv(params, image_emb, scale=1.0):
-    return ipadapter_kv(params, image_emb, SDXL_IPADAPTER_MAP, scale)
+# instant-style subset (ref sdxl_ipadapter.py:67-81: modules 34..43 only —
+# the up-block attention layers)
+SDXL_IPADAPTER_MAP_LESS = {k: v for k, v in SDXL_IPADAPTER_MAP.items()
+                           if 34 <= v < 44}
+
+
+def sdxl_ipadapter_kv(params, image_emb, scale=1.0, use_instant_style=False):
+    return ipadapter_kv(
+        params, image_emb,
+        SDXL_IPADAPTER_MAP_LESS if use_instant_style else SDXL_IPADAPTER_MAP,
+        scale)
 
 
 # ---------------------------------------------------------------------------

@@ -298,8 +298,18 @@ class ModelManager:
         self.state_dict_new_module: dict = {}
         self.state_dict_new: dict = {}
         self.lora_log: list = []
-        if file_path_list:
-            self.load_models(file_path_list)
+        # preset downloads (ref model_manager.py:389-396); resolves to local
+        # cache paths when egress/deps are absent (models/downloader.py)
+        downloaded = []
+        if model_id_list:
+            from .downloader import download_models
+
+            downloaded = download_models(
+                model_id_list, downloading_priority
+                or ["ModelScope", "HuggingFace"])
+        paths = downloaded + list(file_path_list or [])
+        if paths:
+            self.load_models(paths)
 
     # -- loading ------------------------------------------------------------
 

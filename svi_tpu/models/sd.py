@@ -14,8 +14,9 @@ data (block descriptor lists), mirroring the reference's flat Sequential.
 
 ControlNet residuals enter through sd_unet_forward(controlnet_res=...)
 (models/controlnets.py) and IP-Adapter K/V through ipadapter_kwargs_list
-(models/ipadapter.py). The reference's tiled_forward is not implemented
-(tracked in ROADMAP.md).
+(models/ipadapter.py). tiled=True routes the VAE through whole-forward
+feathered tiling and the UNet attention blocks through per-transformer-block
+tiling (models/tiler.py; ref sd_vae_*.py tiled_forward, sd_unet.py:172-190).
 """
 
 from __future__ import annotations
@@ -158,9 +159,12 @@ def _transformer_block(p, x, ctx, num_heads, head_dim, ipadapter=None):
 
 
 def _attention_block(p, x, time_emb, text_emb, num_heads, head_dim, eps=1e-6,
-                     ipadapter_kwargs=None):
-    """AttentionBlock (ref :126-208), non-tiled path. ipadapter_kwargs:
-    {transformer_id: {ip_k, ip_v, scale}}."""
+                     ipadapter_kwargs=None, tiled=False, tile_size=64,
+                     tile_stride=32):
+    """AttentionBlock (ref :126-208). ipadapter_kwargs:
+    {transformer_id: {ip_k, ip_v, scale}}. tiled: per-transformer-block
+    feathered spatial tiling (ref :172-190; IP-Adapter K/V are skipped on
+    the tiled path exactly like the reference)."""
     b, h, w, c = x.shape
     residual = x
     y = _group_norm(p["norm"], x, eps=eps).reshape(b, h * w, c)
@@ -168,9 +172,25 @@ def _attention_block(p, x, time_emb, text_emb, num_heads, head_dim, eps=1e-6,
     ctx = text_emb
     if ctx.shape[0] != b:
         ctx = jnp.repeat(ctx, b // ctx.shape[0], axis=0)
-    for tid, tp in enumerate(p["transformer_blocks"]):
-        ip = None if ipadapter_kwargs is None else ipadapter_kwargs.get(tid)
-        y = _transformer_block(tp, y, ctx, num_heads, head_dim, ipadapter=ip)
+    if tiled:
+        from . import tiler
+
+        ts = min(tile_size, min(h, w))
+        y = y.reshape(b, h, w, c)
+        for tp in p["transformer_blocks"]:
+            def block_tile(t, _tp=tp):
+                tb, th, tw, tc = t.shape
+                out = _transformer_block(_tp, t.reshape(tb, th * tw, tc),
+                                         jnp.tile(ctx, (tb // b, 1, 1)),
+                                         num_heads, head_dim)
+                return out.reshape(tb, th, tw, tc)
+
+            y = tiler.tiled_forward(block_tile, y, ts, tile_stride)
+        y = y.reshape(b, h * w, c)
+    else:
+        for tid, tp in enumerate(p["transformer_blocks"]):
+            ip = None if ipadapter_kwargs is None else ipadapter_kwargs.get(tid)
+            y = _transformer_block(tp, y, ctx, num_heads, head_dim, ipadapter=ip)
     if "proj_out" not in p:  # need_proj_out=False (ref :200-205, SVD)
         return y.reshape(b, h, w, c)
     y = _dense(p["proj_out"], y).reshape(b, h, w, c)
@@ -238,7 +258,8 @@ VAE_SCALING_FACTOR = 0.18215
 
 def _run_plan(plan, blocks, x, time_emb, text_emb, eps_res=1e-5,
               controlnet_res=None, controlnet_insert_at=None,
-              ipadapter_kwargs_list=None, motion=None):
+              ipadapter_kwargs_list=None, motion=None, tiled=False,
+              tile_size=64, tile_stride=32):
     """controlnet_res: channels-last residual list; after executing the plan
     entry at controlnet_insert_at, the last residual is added to the stream
     and the rest elementwise onto the skip stack (ref dancer.py:102-107).
@@ -251,7 +272,9 @@ def _run_plan(plan, blocks, x, time_emb, text_emb, eps_res=1e-5,
             x = _resnet_block(p, x, time_emb, eps=eps_res)
         elif kind == "attn":
             x = _attention_block(p, x, time_emb, text_emb, desc[1], desc[2],
-                                 ipadapter_kwargs=ipadapter_kwargs_list.get(i))
+                                 ipadapter_kwargs=ipadapter_kwargs_list.get(i),
+                                 tiled=tiled, tile_size=tile_size,
+                                 tile_stride=tile_stride)
         elif kind == "vae_attn":
             x = _vae_attention_block(p, x)
         elif kind == "push":
@@ -279,11 +302,11 @@ def _run_plan(plan, blocks, x, time_emb, text_emb, eps_res=1e-5,
 
 def sd_unet_forward(params: Params, sample, timestep, encoder_hidden_states,
                     controlnet_res=None, ipadapter_kwargs_list=None,
-                    motion=None):
+                    motion=None, tiled=False, tile_size=64, tile_stride=32):
     """SDUNet.forward (ref :324-343). sample: (B, 4, H/8, W/8) NCHW like the
     reference API; returns same layout. controlnet_res: NCHW residual list
     from svi_tpu.models.controlnets (inserted after block 30,
-    ref dancer.py:32)."""
+    ref dancer.py:32). tiled: attention-block spatial tiling."""
     x = jnp.moveaxis(sample, 1, -1)
     t = timestep_embedding(jnp.atleast_1d(timestep), 320).astype(x.dtype)
     t = _dense(params["time_embedding"]["2"],
@@ -295,17 +318,28 @@ def sd_unet_forward(params: Params, sample, timestep, encoder_hidden_states,
     # VAE-eps deviation note: UNet resnets use eps 1e-5, attn groupnorms 1e-6
     x = _run_plan(SD_UNET_PLAN, params["blocks"], x, t, encoder_hidden_states,
                   controlnet_res=controlnet_res, controlnet_insert_at=30,
-                  ipadapter_kwargs_list=ipadapter_kwargs_list, motion=motion)
+                  ipadapter_kwargs_list=ipadapter_kwargs_list, motion=motion,
+                  tiled=tiled, tile_size=tile_size, tile_stride=tile_stride)
     x = _group_norm(params["conv_norm_out"], x, eps=1e-5)
     x = _conv2d(params["conv_out"], jax.nn.silu(x))
     return jnp.moveaxis(x, -1, 1)
 
 
-def sd_vae_encode(params: Params, image, scaling_factor=VAE_SCALING_FACTOR):
+def sd_vae_encode(params: Params, image, scaling_factor=VAE_SCALING_FACTOR,
+                  tiled=False, tile_size=64, tile_stride=32):
     """SDVAEEncoder.forward (ref sd_vae_encoder.py:52-79): (B,3,H,W) [-1,1]
     -> (B,4,H/8,W/8) latents scaled by 0.18215 (deterministic mean branch).
     SDXL reuses the same architecture with scaling 0.13025
-    (ref sdxl_vae_encoder.py:4-7)."""
+    (ref sdxl_vae_encoder.py:4-7). tiled: whole-forward feathered tiling
+    at pixel tile_size (ref :41-50)."""
+    if tiled:
+        from . import tiler
+
+        return jnp.moveaxis(tiler.tiled_forward(
+            lambda t: jnp.moveaxis(
+                sd_vae_encode(params, jnp.moveaxis(t, -1, 1), scaling_factor),
+                1, -1),
+            jnp.moveaxis(image, 1, -1), tile_size, tile_stride), -1, 1)
     x = jnp.moveaxis(image, 1, -1)
     x = _conv2d(params["conv_in"], x)
     x = _run_plan(SD_VAE_ENCODER_PLAN, params["blocks"], x, None, None, eps_res=1e-6)
@@ -316,8 +350,18 @@ def sd_vae_encode(params: Params, image, scaling_factor=VAE_SCALING_FACTOR):
     return jnp.moveaxis(x, -1, 1)
 
 
-def sd_vae_decode(params: Params, latents, scaling_factor=VAE_SCALING_FACTOR):
-    """SDVAEDecoder.forward (ref sd_vae_decoder.py:90-117)."""
+def sd_vae_decode(params: Params, latents, scaling_factor=VAE_SCALING_FACTOR,
+                  tiled=False, tile_size=64, tile_stride=32):
+    """SDVAEDecoder.forward (ref sd_vae_decoder.py:90-117). tiled: whole-
+    forward feathered tiling at latent tile_size (ref :81-90)."""
+    if tiled:
+        from . import tiler
+
+        return jnp.moveaxis(tiler.tiled_forward(
+            lambda t: jnp.moveaxis(
+                sd_vae_decode(params, jnp.moveaxis(t, -1, 1), scaling_factor),
+                1, -1),
+            jnp.moveaxis(latents, 1, -1), tile_size, tile_stride), -1, 1)
     x = jnp.moveaxis(latents, 1, -1) / scaling_factor
     x = _conv2d(params["post_quant_conv"], x, padding=0)
     x = _conv2d(params["conv_in"], x)

@@ -52,11 +52,20 @@ SD3_VAE_DECODER_PLAN = (
 )
 
 
-def sd3_vae_encode(params: Params, image):
+def sd3_vae_encode(params: Params, image, tiled=False, tile_size=64,
+                   tile_stride=32):
     """SD3VAEEncoder.forward (ref sd3_vae_encoder.py:52-76): 16-ch latent,
-    (x - 0.0609) * 1.5305, no quant_conv."""
+    (x - 0.0609) * 1.5305, no quant_conv. tiled: whole-forward feathered
+    tiling (ref :41-50)."""
     import jax.numpy as jnp
 
+    if tiled:
+        from . import tiler
+
+        return jnp.moveaxis(tiler.tiled_forward(
+            lambda t: jnp.moveaxis(
+                sd3_vae_encode(params, jnp.moveaxis(t, -1, 1)), 1, -1),
+            jnp.moveaxis(image, 1, -1), tile_size, tile_stride), -1, 1)
     x = jnp.moveaxis(image, 1, -1)
     from .sd import _conv2d
 
@@ -69,10 +78,18 @@ def sd3_vae_encode(params: Params, image):
     return jnp.moveaxis(x, -1, 1)
 
 
-def sd3_vae_decode(params: Params, latents):
+def sd3_vae_decode(params: Params, latents, tiled=False, tile_size=64,
+                   tile_stride=32):
     """SD3VAEDecoder.forward (ref sd3_vae_decoder.py:56-76)."""
     from .sd import _conv2d
 
+    if tiled:
+        from . import tiler
+
+        return jnp.moveaxis(tiler.tiled_forward(
+            lambda t: jnp.moveaxis(
+                sd3_vae_decode(params, jnp.moveaxis(t, -1, 1)), 1, -1),
+            jnp.moveaxis(latents, 1, -1), tile_size, tile_stride), -1, 1)
     x = jnp.moveaxis(latents, 1, -1) / SD3_VAE_SCALING_FACTOR + SD3_VAE_SHIFT_FACTOR
     x = _conv2d(params["conv_in"], x)
     x = _run_plan(SD3_VAE_DECODER_PLAN, params["blocks"], x, None, None,
@@ -196,9 +213,20 @@ def _joint_block(p, xa, xb, temb, num_heads, head_dim, dual=False,
 
 
 def sd3_dit_forward(params: Params, hidden_states, timestep, prompt_emb,
-                    pooled_prompt_emb, patch_size=2):
+                    pooled_prompt_emb, patch_size=2, tiled=False,
+                    tile_size=128, tile_stride=64):
     """SD3DiT.forward (ref sd3_dit.py:365-400). hidden_states: (B,16,H,W)
-    NCHW latents; prompt_emb: (B,S,4096); pooled: (B,2048)."""
+    NCHW latents; prompt_emb: (B,S,4096); pooled: (B,2048). tiled: whole-
+    forward latent-space tiling (ref :339-349 — layer-wise tiling is
+    impossible due to the global positional embedding)."""
+    if tiled:
+        from . import tiler
+
+        return jnp.moveaxis(tiler.tiled_forward(
+            lambda t: jnp.moveaxis(sd3_dit_forward(
+                params, jnp.moveaxis(t, -1, 1), timestep, prompt_emb,
+                pooled_prompt_emb, patch_size), 1, -1),
+            jnp.moveaxis(hidden_states, 1, -1), tile_size, tile_stride), -1, 1)
     x = hidden_states
     b, _, h, w = x.shape
     dtype = x.dtype
@@ -254,16 +282,22 @@ def sd3_dit_forward(params: Params, hidden_states, timestep, prompt_emb,
 # ---------------------------------------------------------------------------
 
 
-def sd3_text_encoder_1_forward(params: Params, input_ids, clip_skip: int = 2):
+def sd3_text_encoder_1_forward(params: Params, input_ids, clip_skip: int = 2,
+                               extra_mask=None):
     """SD3TextEncoder1.forward (ref sd3_text_encoder.py:11-24): returns
     (pooled_embeds, hidden_states) — pooled is final-LN EOS-token state (no
     text_projection), hidden is the pre-LN state clip_skip layers from the
-    end. Params structure matches sd.sd_text_encoder_params_from_torch."""
+    end. extra_mask (B,S): 0 -> key masked out (ref :15-16, applied from the
+    first sample like the reference). Params structure matches
+    sd.sd_text_encoder_params_from_torch."""
     from .sd import _attention, _layer_norm
 
     embeds = params["token_embedding"][input_ids] + params["position_embeds"][0]
     s = embeds.shape[1]
     mask = jnp.triu(jnp.full((s, s), float("-inf"), jnp.float32), 1)[None, None]
+    if extra_mask is not None:
+        mask = jnp.where(extra_mask[0][None, None, None, :] == 0,
+                         float("-inf"), mask)
     encoders = params["encoders"]
     n_layers = encoders["layer_norm1"]["w"].shape[0]
     keep = n_layers - clip_skip

@@ -64,7 +64,8 @@ SDXL_UNET_PLAN = (
 
 def sdxl_unet_forward(params: Params, sample, timestep, encoder_hidden_states,
                       add_time_id, add_text_embeds, controlnet_res=None,
-                      ipadapter_kwargs_list=None, motion=None):
+                      ipadapter_kwargs_list=None, motion=None, tiled=False,
+                      tile_size=64, tile_stride=32):
     """SDXLUNet.forward (ref sdxl_unet.py:89-140). NCHW in/out.
     add_time_id: (B*6,) micro-conditioning ints; add_text_embeds: (B, 1280)
     pooled text embedding. controlnet_res: NCHW residuals inserted after
@@ -92,7 +93,8 @@ def sdxl_unet_forward(params: Params, sample, timestep, encoder_hidden_states,
                           for r in controlnet_res]
     x = _run_plan(SDXL_UNET_PLAN, params["blocks"], x, time_emb, ctx,
                   controlnet_res=controlnet_res, controlnet_insert_at=22,
-                  ipadapter_kwargs_list=ipadapter_kwargs_list, motion=motion)
+                  ipadapter_kwargs_list=ipadapter_kwargs_list, motion=motion,
+                  tiled=tiled, tile_size=tile_size, tile_stride=tile_stride)
     x = _group_norm(params["conv_norm_out"], x, eps=1e-5)
     x = _conv2d(params["conv_out"], jax.nn.silu(x))
     return jnp.moveaxis(x, -1, 1)
@@ -145,14 +147,20 @@ def sdxl_text_encoder_2_forward(params: Params, input_ids, clip_skip: int = 2):
     return pooled, hidden
 
 
-def sdxl_vae_encode(params: Params, image):
+def sdxl_vae_encode(params: Params, image, tiled=False, tile_size=64,
+                    tile_stride=32):
     """SDXLVAEEncoder (ref sdxl_vae_encoder.py:4-12): SD VAE, scale 0.13025."""
-    return sd_vae_encode(params, image, scaling_factor=SDXL_VAE_SCALING_FACTOR)
+    return sd_vae_encode(params, image, scaling_factor=SDXL_VAE_SCALING_FACTOR,
+                         tiled=tiled, tile_size=tile_size,
+                         tile_stride=tile_stride)
 
 
-def sdxl_vae_decode(params: Params, latents):
+def sdxl_vae_decode(params: Params, latents, tiled=False, tile_size=64,
+                    tile_stride=32):
     """SDXLVAEDecoder (ref sdxl_vae_decoder.py:4-11)."""
-    return sd_vae_decode(params, latents, scaling_factor=SDXL_VAE_SCALING_FACTOR)
+    return sd_vae_decode(params, latents, scaling_factor=SDXL_VAE_SCALING_FACTOR,
+                         tiled=tiled, tile_size=tile_size,
+                         tile_stride=tile_stride)
 
 
 # ---------------------------------------------------------------------------

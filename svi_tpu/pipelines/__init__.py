@@ -6,6 +6,7 @@ from .sd3_image import SD3ImagePipeline, SD3Prompter
 from .sd_image import SDImagePipeline, SDPrompter
 from .sd_video import SDVideoPipeline, denoise_long_video
 from .sdxl_image import SDXLImagePipeline, SDXLPrompter
+from .sdxl_video import SDXLVideoPipeline
 from .svd_video import SVDVideoPipeline
 from .svi_video import SVIVideoPipeline, TeaCache, model_fn_wan_video
 from .svi_video_dance import SVIDanceVideoPipeline
@@ -28,6 +29,7 @@ __all__ = [
     "SD3Prompter",
     "SDXLImagePipeline",
     "SDXLPrompter",
+    "SDXLVideoPipeline",
     "SVIVideoPipeline",
     "SVIDanceVideoPipeline",
     "SVITalkVideoPipeline",

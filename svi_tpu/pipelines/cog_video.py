@@ -61,8 +61,11 @@ class CogVideoPipeline:
     def __call__(self, prompt, negative_prompt="", input_video=None,
                  cfg_scale=7.0, denoising_strength=1.0, num_frames=49,
                  height=480, width=720, num_inference_steps=20, seed=None,
-                 prompt_emb_posi=None, prompt_emb_nega=None):
+                 prompt_emb_posi=None, prompt_emb_nega=None, tiled=False,
+                 tile_size=(60, 90), tile_stride=(30, 45)):
         height, width = check_resize_height_width(height, width, factor=16)
+        tiler_kwargs = {"tiled": tiled, "tile_size": tuple(tile_size),
+                        "tile_stride": tuple(tile_stride)}
         self.scheduler.set_timesteps(num_inference_steps, denoising_strength)
 
         noise = jnp.asarray(generate_noise(
@@ -76,7 +79,8 @@ class CogVideoPipeline:
                  for f in input_video], axis=1).transpose(2, 0, 1, 3)[None]
                 if isinstance(input_video, (list, tuple)) else input_video,
                 self.dtype)
-            latents = cog.cog_vae_encode_video(self.vae_encoder_params, video)
+            latents = cog.cog_vae_encode_video(self.vae_encoder_params, video,
+                                               **tiler_kwargs)
             latents = jnp.asarray(self.scheduler.add_noise(
                 latents, noise, self.scheduler.timesteps[0]), self.dtype)
 
@@ -91,7 +95,18 @@ class CogVideoPipeline:
 
         for timestep in self.scheduler.timesteps:
             t = jnp.asarray([timestep], self.dtype)
-            if cfg_scale != 1.0:
+            if tiled:
+                # the DiT recomputes per-tile RoPE tables (ref cog_dit.py
+                # :287-296 passes image_rotary_emb=None inside the tiler)
+                posi = cog.cog_dit_forward(self.dit_params, latents, t,
+                                           prompt_emb_posi, **tiler_kwargs)
+                if cfg_scale != 1.0:
+                    nega = cog.cog_dit_forward(self.dit_params, latents, t,
+                                               prompt_emb_nega, **tiler_kwargs)
+                    noise_pred = nega + cfg_scale * (posi - nega)
+                else:
+                    noise_pred = posi
+            elif cfg_scale != 1.0:
                 noise_pred = self._cfg_dit_impl(
                     self.dit_params, latents, t, prompt_emb_posi,
                     prompt_emb_nega, cos, sin, float(cfg_scale))
@@ -103,5 +118,6 @@ class CogVideoPipeline:
                                     timestep,
                                     np.asarray(latents, np.float32)), self.dtype)
 
-        video = cog.cog_vae_decode_video(self.vae_decoder_params, latents)
+        video = cog.cog_vae_decode_video(self.vae_decoder_params, latents,
+                                         **tiler_kwargs)
         return tensor_to_frames(np.asarray(video[0], np.float32))

@@ -116,18 +116,26 @@ class FluxImagePipeline:
                  width=1024, num_inference_steps=30, seed=None,
                  prompt_emb_posi=None, prompt_emb_nega=None,
                  controlnet_units=(), ipadapter_params=None,
-                 ipadapter_image_emb=None, ipadapter_scale=1.0):
+                 ipadapter_image_emb=None, ipadapter_scale=1.0,
+                 tiled=False, tile_size=128, tile_stride=64):
         """controlnet_units: iterable of (params, conditioning, scale,
         processor_id_index) — conditioning is an annotated PIL image (VAE-
         encoded here, ref prepare_controlnet_input :218-239) or a
         ready (1,16,h/8,w/8) latent. ipadapter_image_emb: (1, 1152) SigLIP
-        pooled embedding (host-side transformers)."""
+        pooled embedding (host-side transformers). tiled: latent-space
+        feathered tiling of the whole denoise forward with per-tile
+        ControlNet conditioning slices (ref lets_dance_flux tiled branch,
+        flux_image.py:534-559) and tiled VAE."""
         height, width = check_resize_height_width(height, width, factor=16)
         self.scheduler.set_timesteps(num_inference_steps, denoising_strength)
 
+        vae_tiler = {"tiled": tiled, "tile_size": tile_size,
+                     "tile_stride": tile_stride}
         if input_image is not None:
             image = jnp.asarray(preprocess_image(input_image), self.dtype)
-            latents = jax.jit(flux.flux_vae_encode)(self.vae_encoder_params, image)
+            latents = jax.jit(flux.flux_vae_encode, static_argnames=(
+                "tiled", "tile_size", "tile_stride"))(
+                self.vae_encoder_params, image, **vae_tiler)
             noise = jnp.asarray(
                 generate_noise((1, 16, height // 8, width // 8), seed), self.dtype)
             latents = jnp.asarray(self.scheduler.add_noise(
@@ -166,8 +174,7 @@ class FluxImagePipeline:
         n_single = jax.tree.leaves(
             self.dit_params["single_blocks"])[0].shape[0]
 
-        for i, timestep in enumerate(np.asarray(self.scheduler.timesteps)):
-            t = jnp.asarray([timestep], self.dtype)
+        def predict(latents, t, cn_units):
             controlnet_res = None
             if cn_units:
                 joint = single = 0.0
@@ -198,10 +205,34 @@ class FluxImagePipeline:
                                             emb_posi, pooled_posi, guidance,
                                             controlnet_res=controlnet_res,
                                             ipadapter=ipadapter)
+            return noise_pred
+
+        for i, timestep in enumerate(np.asarray(self.scheduler.timesteps)):
+            t = jnp.asarray([timestep], self.dtype)
+            if tiled:
+                # ref lets_dance_flux:534-559 — FastTileWorker over the full
+                # per-tile branch (ControlNet conds sliced per tile)
+                from ..models.tiler import fast_tiled_forward
+
+                lat_nhwc = jnp.moveaxis(latents, 1, -1)
+
+                def tile_fn(hl, hr, wl, wr):
+                    sl = latents[:, :, hl:hr, wl:wr]
+                    cn_sl = [(cp, cond[:, :, hl:hr, wl:wr], sc, pi)
+                             for cp, cond, sc, pi in cn_units]
+                    return jnp.moveaxis(predict(sl, t, cn_sl), 1, -1)
+
+                noise_pred = jnp.moveaxis(
+                    fast_tiled_forward(tile_fn, lat_nhwc, tile_size,
+                                       tile_stride), -1, 1)
+            else:
+                noise_pred = predict(latents, t, cn_units)
             latents = jnp.asarray(self.scheduler.step(
                 np.asarray(noise_pred, np.float32),
                 self.scheduler.timesteps[i],
                 np.asarray(latents, np.float32)), self.dtype)
 
         return self.vae_output_to_image(
-            jax.jit(flux.flux_vae_decode)(self.vae_decoder_params, latents))
+            jax.jit(flux.flux_vae_decode, static_argnames=(
+                "tiled", "tile_size", "tile_stride"))(
+                self.vae_decoder_params, latents, **vae_tiler))

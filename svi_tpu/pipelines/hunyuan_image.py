@@ -70,18 +70,19 @@ class HunyuanDiTImagePipeline:
         self.dtype = dtype
         self.num_layers_down = num_layers_down
         self._dit_jit = jax.jit(
-            lambda params, *args: hy.hunyuan_dit_forward(
-                params, *args, num_layers_down=self.num_layers_down))
+            lambda params, *args, **kw: hy.hunyuan_dit_forward(
+                params, *args, num_layers_down=self.num_layers_down, **kw),
+            static_argnames=("tiled", "tile_size", "tile_stride"))
 
     def _cfg_dit(self, latents, timestep, posi, nega, size_emb, freqs,
-                 cfg_scale):
+                 cfg_scale, **tiler_kwargs):
         def run(emb):
             text_emb, mask, text_emb_t5, mask_t5 = emb
             return self._dit_jit(
                 self.dit_params, latents,
                 jnp.asarray(text_emb, self.dtype), jnp.asarray(text_emb_t5, self.dtype),
                 jnp.asarray(mask), jnp.asarray(mask_t5), timestep, size_emb,
-                freqs)
+                freqs, **tiler_kwargs)
         pred_posi = run(posi)
         if cfg_scale == 1.0 or nega is None:
             return pred_posi
@@ -97,15 +98,20 @@ class HunyuanDiTImagePipeline:
     def __call__(self, prompt, negative_prompt="", cfg_scale=7.5, clip_skip=1,
                  clip_skip_2=1, input_image=None, denoising_strength=1.0,
                  height=1024, width=1024, num_inference_steps=20, seed=None,
-                 prompt_emb_posi=None, prompt_emb_nega=None):
+                 prompt_emb_posi=None, prompt_emb_nega=None, tiled=False,
+                 tile_size=64, tile_stride=32):
         height, width = check_resize_height_width(height, width, factor=16)
+        tiler_kwargs = {"tiled": tiled, "tile_size": tile_size,
+                        "tile_stride": tile_stride}
+        vae_jit_kw = {"static_argnames": ("tiled", "tile_size", "tile_stride")}
         self.scheduler.set_timesteps(num_inference_steps, denoising_strength)
 
         noise = jnp.asarray(
             generate_noise((1, 4, height // 8, width // 8), seed), self.dtype)
         if input_image is not None:
             image = jnp.asarray(preprocess_image(input_image), self.dtype)
-            latents = jax.jit(sdxl.sdxl_vae_encode)(self.vae_encoder_params, image)
+            latents = jax.jit(sdxl.sdxl_vae_encode, **vae_jit_kw)(
+                self.vae_encoder_params, image, **tiler_kwargs)
             latents = jnp.asarray(self.scheduler.add_noise(
                 latents, noise, timestep=self.scheduler.timesteps[0]), self.dtype)
         else:
@@ -117,20 +123,26 @@ class HunyuanDiTImagePipeline:
             prompt_emb_nega = self.text_encoder(negative_prompt, clip_skip,
                                                 clip_skip_2)
 
-        size_emb = jnp.asarray([[width, height, width, height, 0, 0]],
-                               jnp.float32)
-        cos, sin = hy.calc_rope(height, width)
+        # tiled: size embedding and RoPE tables describe ONE tile
+        # (ref hunyuan_image.py:193-206)
+        if tiled:
+            rh = rw = tile_size * 16
+        else:
+            rh, rw = height, width
+        size_emb = jnp.asarray([[rw, rh, rw, rh, 0, 0]], jnp.float32)
+        cos, sin = hy.calc_rope(rh, rw)
         freqs = (jnp.asarray(cos), jnp.asarray(sin))
 
         for timestep in self.scheduler.timesteps:
             t = jnp.asarray([timestep], self.dtype)
             noise_pred = self._cfg_dit(latents, t, prompt_emb_posi,
                                        prompt_emb_nega, size_emb, freqs,
-                                       float(cfg_scale))
+                                       float(cfg_scale), **tiler_kwargs)
             latents = jnp.asarray(
                 self.scheduler.step(np.asarray(noise_pred, np.float32),
                                     timestep,
                                     np.asarray(latents, np.float32)), self.dtype)
 
         return self.vae_output_to_image(
-            jax.jit(sdxl.sdxl_vae_decode)(self.vae_decoder_params, latents))
+            jax.jit(sdxl.sdxl_vae_decode, **vae_jit_kw)(
+                self.vae_decoder_params, latents, **tiler_kwargs))

@@ -52,14 +52,18 @@ class OmnigenImagePipeline:
                  image_cfg_scale=2.0, use_kv_cache=True, input_image=None,
                  denoising_strength=1.0, height=1024, width=1024,
                  num_inference_steps=20, seed=None, prompt_inputs=None,
+                 tiled=False, tile_size=64, tile_stride=32,
                  progress_bar_cmd=lambda x: x):
         height, width = check_resize_height_width(height, width)
+        tiler_kwargs = {"tiled": tiled, "tile_size": tile_size,
+                        "tile_stride": tile_stride}
+        vae_jit_kw = {"static_argnames": ("tiled", "tile_size", "tile_stride")}
         self.scheduler.set_timesteps(num_inference_steps, denoising_strength)
 
         if input_image is not None:
             image = jnp.asarray(preprocess_image(input_image), self.dtype)
-            latents = jax.jit(sdxl.sdxl_vae_encode)(
-                self.vae_encoder_params, image)
+            latents = jax.jit(sdxl.sdxl_vae_encode, **vae_jit_kw)(
+                self.vae_encoder_params, image, **tiler_kwargs)
             noise = jnp.asarray(generate_noise(
                 (1, 4, height // 8, width // 8), seed), self.dtype)
             latents = jnp.asarray(self.scheduler.add_noise(
@@ -76,7 +80,7 @@ class OmnigenImagePipeline:
 
         # VAE-encode reference images per branch (ref :245)
         encode = jax.jit(lambda im: sdxl.sdxl_vae_encode(
-            self.vae_encoder_params, im))
+            self.vae_encoder_params, im, **tiler_kwargs))
         ref_latents = [[encode(jnp.asarray(px, self.dtype)) for px in pix]
                        for pix in prompt_inputs["input_pixel_values"]]
 
@@ -141,5 +145,6 @@ class OmnigenImagePipeline:
                     bi["input_image_sizes"] = ()
                     ref_latents[i] = []
 
-        return self.vae_output_to_image(jax.jit(sdxl.sdxl_vae_decode)(
-            self.vae_decoder_params, latents))
+        return self.vae_output_to_image(
+            jax.jit(sdxl.sdxl_vae_decode, **vae_jit_kw)(
+                self.vae_decoder_params, latents, **tiler_kwargs))

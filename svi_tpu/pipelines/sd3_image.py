@@ -11,6 +11,8 @@ TPU notes: posi/nega batched into one MMDiT pass; FlowMatch step host-side.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -82,14 +84,17 @@ class SD3ImagePipeline:
         self.dtype = dtype
 
     @staticmethod
-    @jax.jit
+    @functools.partial(jax.jit, static_argnames=("tiled", "tile_size",
+                                                 "tile_stride"))
     def _cfg_dit_impl(params, latents, timestep, emb_posi, emb_nega,
-                      pooled_posi, pooled_nega, cfg_scale):
+                      pooled_posi, pooled_nega, cfg_scale, tiled=False,
+                      tile_size=128, tile_stride=64):
         sample = jnp.concatenate([latents, latents], axis=0)
         ctx = jnp.concatenate([emb_posi, emb_nega], axis=0)
         pooled = jnp.concatenate([pooled_posi, pooled_nega], axis=0)
         t = jnp.concatenate([timestep, timestep], axis=0)
-        pred = sd3.sd3_dit_forward(params, sample, t, ctx, pooled)
+        pred = sd3.sd3_dit_forward(params, sample, t, ctx, pooled, tiled=tiled,
+                                   tile_size=tile_size, tile_stride=tile_stride)
         posi, nega = jnp.split(pred, 2, axis=0)
         return nega + cfg_scale * (posi - nega)
 
@@ -108,13 +113,18 @@ class SD3ImagePipeline:
     def __call__(self, prompt, negative_prompt="", cfg_scale=7.5,
                  input_image=None, denoising_strength=1.0, height=1024,
                  width=1024, num_inference_steps=28, t5_sequence_length=77,
-                 seed=None, prompt_emb_posi=None, prompt_emb_nega=None):
+                 seed=None, prompt_emb_posi=None, prompt_emb_nega=None,
+                 tiled=False, tile_size=128, tile_stride=64):
         height, width = check_resize_height_width(height, width, factor=64)
+        tiler_kwargs = {"tiled": tiled, "tile_size": tile_size,
+                        "tile_stride": tile_stride}
         self.scheduler.set_timesteps(num_inference_steps, denoising_strength)
 
         if input_image is not None:
             image = jnp.asarray(preprocess_image(input_image), self.dtype)
-            latents = jax.jit(sd3.sd3_vae_encode)(self.vae_encoder_params, image)
+            latents = jax.jit(sd3.sd3_vae_encode, static_argnames=(
+                "tiled", "tile_size", "tile_stride"))(
+                self.vae_encoder_params, image, **tiler_kwargs)
             noise = jnp.asarray(
                 generate_noise((1, 16, height // 8, width // 8), seed), self.dtype)
             latents = jnp.asarray(self.scheduler.add_noise(
@@ -135,11 +145,13 @@ class SD3ImagePipeline:
             t = jnp.asarray([timestep], self.dtype)
             noise_pred = self._cfg_dit_impl(
                 self.dit_params, latents, t, emb_posi, emb_nega,
-                pooled_posi, pooled_nega, float(cfg_scale))
+                pooled_posi, pooled_nega, float(cfg_scale), **tiler_kwargs)
             latents = jnp.asarray(self.scheduler.step(
                 np.asarray(noise_pred, np.float32),
                 self.scheduler.timesteps[i],
                 np.asarray(latents, np.float32)), self.dtype)
 
         return self.vae_output_to_image(
-            jax.jit(sd3.sd3_vae_decode)(self.vae_decoder_params, latents))
+            jax.jit(sd3.sd3_vae_decode, static_argnames=(
+                "tiled", "tile_size", "tile_stride"))(
+                self.vae_decoder_params, latents, **tiler_kwargs))

@@ -14,6 +14,8 @@ local-prompt mixing are not implemented yet (tracked in ROADMAP.md).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -104,27 +106,36 @@ class SDImagePipeline:
     # buffers instead of being baked into the executable as constants) ------
 
     @staticmethod
-    @jax.jit
-    def _cfg_unet_impl(params, latents, timestep, emb_posi, emb_nega, cfg_scale):
+    @functools.partial(jax.jit, static_argnames=("tiled", "tile_size",
+                                                 "tile_stride"))
+    def _cfg_unet_impl(params, latents, timestep, emb_posi, emb_nega,
+                       cfg_scale, tiled=False, tile_size=64, tile_stride=32):
         """Batched CFG: posi/nega in ONE UNet pass (the reference runs two
         sequential calls, sd_image.py:163-175); contexts are padded host-side
         to equal chunk counts before the call."""
         sample = jnp.concatenate([latents, latents], axis=0)
         ctx = jnp.concatenate([emb_posi, emb_nega], axis=0)
         t = jnp.concatenate([timestep, timestep], axis=0)
-        pred = sd.sd_unet_forward(params, sample, t, ctx)
+        pred = sd.sd_unet_forward(params, sample, t, ctx, tiled=tiled,
+                                  tile_size=tile_size, tile_stride=tile_stride)
         posi, nega = jnp.split(pred, 2, axis=0)
         return nega + cfg_scale * (posi - nega)
 
-    def _cfg_unet(self, latents, timestep, emb_posi, emb_nega, cfg_scale):
+    def _cfg_unet(self, latents, timestep, emb_posi, emb_nega, cfg_scale,
+                  **tiler_kwargs):
         return self._cfg_unet_impl(self.unet_params, latents, timestep,
-                                   emb_posi, emb_nega, cfg_scale)
+                                   emb_posi, emb_nega, cfg_scale,
+                                   **tiler_kwargs)
 
-    def _decode(self, latents):
-        return jax.jit(sd.sd_vae_decode)(self.vae_decoder_params, latents)
+    def _decode(self, latents, **tiler_kwargs):
+        return jax.jit(sd.sd_vae_decode, static_argnames=(
+            "tiled", "tile_size", "tile_stride"))(
+            self.vae_decoder_params, latents, **tiler_kwargs)
 
-    def _encode(self, image):
-        return jax.jit(sd.sd_vae_encode)(self.vae_encoder_params, image)
+    def _encode(self, image, **tiler_kwargs):
+        return jax.jit(sd.sd_vae_encode, static_argnames=(
+            "tiled", "tile_size", "tile_stride"))(
+            self.vae_encoder_params, image, **tiler_kwargs)
 
     # -- host-side API -----------------------------------------------------
 
@@ -142,13 +153,16 @@ class SDImagePipeline:
     def __call__(self, prompt, negative_prompt="", cfg_scale=7.5, clip_skip=1,
                  input_image=None, denoising_strength=1.0, height=512,
                  width=512, num_inference_steps=20, seed=None,
-                 prompt_emb_posi=None, prompt_emb_nega=None):
+                 prompt_emb_posi=None, prompt_emb_nega=None, tiled=False,
+                 tile_size=64, tile_stride=32):
         height, width = check_resize_height_width(height, width, factor=64)
+        tiler_kwargs = {"tiled": tiled, "tile_size": tile_size,
+                        "tile_stride": tile_stride}
         self.scheduler.set_timesteps(num_inference_steps, denoising_strength)
 
         if input_image is not None:
             image = jnp.asarray(preprocess_image(input_image), self.dtype)
-            latents = self._encode(image)
+            latents = self._encode(image, **tiler_kwargs)
             noise = jnp.asarray(
                 generate_noise((1, 4, height // 8, width // 8), seed), self.dtype)
             latents = jnp.asarray(self.scheduler.add_noise(
@@ -176,10 +190,11 @@ class SDImagePipeline:
         for timestep in self.scheduler.timesteps:
             t = jnp.asarray([timestep], self.dtype)
             noise_pred = self._cfg_unet(latents, t, prompt_emb_posi,
-                                        prompt_emb_nega, float(cfg_scale))
+                                        prompt_emb_nega, float(cfg_scale),
+                                        **tiler_kwargs)
             latents = jnp.asarray(
                 self.scheduler.step(np.asarray(noise_pred, np.float32),
                                     timestep,
                                     np.asarray(latents, np.float32)), self.dtype)
 
-        return self.vae_output_to_image(self._decode(latents))
+        return self.vae_output_to_image(self._decode(latents, **tiler_kwargs))

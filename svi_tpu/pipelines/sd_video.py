@@ -103,32 +103,40 @@ class SDVideoPipeline:
                                            clip_skip).astype(self.dtype)
 
     def _unet_window(self, latents, t, emb, ipadapter_kwargs_list=None,
-                     controlnet_res=None):
+                     controlnet_res=None, tiled=False, tile_size=64,
+                     tile_stride=32):
         hooks = None
         if self.motion_params is not None:
             hooks = mo.motion_hooks(self.motion_params, batch_size=1)
         return sd_models.sd_unet_forward(
             self.unet_params, latents, t, emb,
             controlnet_res=controlnet_res,
-            ipadapter_kwargs_list=ipadapter_kwargs_list, motion=hooks)
+            ipadapter_kwargs_list=ipadapter_kwargs_list, motion=hooks,
+            tiled=tiled, tile_size=tile_size, tile_stride=tile_stride)
 
-    def decode_video(self, latents):
+    def decode_video(self, latents, tiled=False, tile_size=64,
+                     tile_stride=32):
         from PIL import Image
 
         frames = []
         for i in range(latents.shape[0]):
             img = sd_models.sd_vae_decode(self.vae_decoder_params,
-                                          latents[i:i + 1])
+                                          latents[i:i + 1], tiled=tiled,
+                                          tile_size=tile_size,
+                                          tile_stride=tile_stride)
             arr = np.asarray(img[0], np.float32).transpose(1, 2, 0)
             frames.append(Image.fromarray(
                 ((arr / 2 + 0.5).clip(0, 1) * 255).astype(np.uint8)))
         return frames
 
-    def encode_video(self, frames):
+    def encode_video(self, frames, tiled=False, tile_size=64,
+                     tile_stride=32):
         lat = []
         for f in frames:
             img = jnp.asarray(preprocess_image(f), self.dtype)
-            lat.append(sd_models.sd_vae_encode(self.vae_encoder_params, img))
+            lat.append(sd_models.sd_vae_encode(
+                self.vae_encoder_params, img, tiled=tiled,
+                tile_size=tile_size, tile_stride=tile_stride))
         return jnp.concatenate(lat, axis=0)
 
     def _prepare_controlnet_frames(self, controlnet_frames, dtype):
@@ -154,8 +162,11 @@ class SDVideoPipeline:
                  animatediff_batch_size=16, animatediff_stride=8,
                  controlnet_frames=None, smoother=None,
                  smoother_progress_ids=(), seed=None,
-                 prompt_emb_posi=None, prompt_emb_nega=None):
+                 prompt_emb_posi=None, prompt_emb_nega=None, tiled=False,
+                 tile_size=64, tile_stride=32):
         height, width = check_resize_height_width(height, width, factor=64)
+        tiler_kwargs = {"tiled": tiled, "tile_size": tile_size,
+                        "tile_stride": tile_stride}
         self.scheduler.set_timesteps(num_inference_steps, denoising_strength)
         controlnet_cond = self._prepare_controlnet_frames(controlnet_frames,
                                                           self.dtype)
@@ -170,7 +181,7 @@ class SDVideoPipeline:
         if input_frames is None or denoising_strength == 1.0:
             latents = noise
         else:
-            latents = self.encode_video(input_frames)
+            latents = self.encode_video(input_frames, **tiler_kwargs)
             latents = jnp.asarray(self.scheduler.add_noise(
                 latents, noise, timestep=self.scheduler.timesteps[0]), self.dtype)
 
@@ -191,7 +202,8 @@ class SDVideoPipeline:
                         res = self.controlnet(latents[lo:hi], t, e,
                                               controlnet_cond[:, lo:hi])
                     return self._unet_window(latents[lo:hi], t, e,
-                                             controlnet_res=res)
+                                             controlnet_res=res,
+                                             **tiler_kwargs)
                 return denoise_long_video(run_window, latents,
                                           animatediff_batch_size,
                                           animatediff_stride)
@@ -213,7 +225,7 @@ class SDVideoPipeline:
                 np.asarray(noise_pred, np.float32), timestep,
                 np.asarray(latents, np.float32)), self.dtype)
 
-        frames = self.decode_video(latents)
+        frames = self.decode_video(latents, **tiler_kwargs)
         if smoother is not None and (num_inference_steps in smoother_progress_ids
                                      or -1 in smoother_progress_ids):
             frames = smoother(frames, original_frames=input_frames)

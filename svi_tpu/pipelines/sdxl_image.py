@@ -10,6 +10,8 @@ TPU notes: posi/nega batched into one UNet pass; scheduler math host-side.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -100,23 +102,31 @@ class SDXLImagePipeline:
         self.dtype = dtype
 
     @staticmethod
-    @jax.jit
+    @functools.partial(jax.jit, static_argnames=("tiled", "tile_size",
+                                                 "tile_stride"))
     def _cfg_unet_impl(params, latents, timestep, emb_posi, emb_nega,
-                       pooled_posi, pooled_nega, add_time_id, cfg_scale):
+                       pooled_posi, pooled_nega, add_time_id, cfg_scale,
+                       tiled=False, tile_size=64, tile_stride=32):
         sample = jnp.concatenate([latents, latents], axis=0)
         ctx = jnp.concatenate([emb_posi, emb_nega], axis=0)
         pooled = jnp.concatenate([pooled_posi, pooled_nega], axis=0)
         t = jnp.concatenate([timestep, timestep], axis=0)
         ids = jnp.concatenate([add_time_id, add_time_id], axis=0)
-        pred = sdxl.sdxl_unet_forward(params, sample, t, ctx, ids, pooled)
+        pred = sdxl.sdxl_unet_forward(params, sample, t, ctx, ids, pooled,
+                                      tiled=tiled, tile_size=tile_size,
+                                      tile_stride=tile_stride)
         posi, nega = jnp.split(pred, 2, axis=0)
         return nega + cfg_scale * (posi - nega)
 
     @staticmethod
-    @jax.jit
-    def _unet_impl(params, latents, timestep, emb, pooled, add_time_id):
+    @functools.partial(jax.jit, static_argnames=("tiled", "tile_size",
+                                                 "tile_stride"))
+    def _unet_impl(params, latents, timestep, emb, pooled, add_time_id,
+                   tiled=False, tile_size=64, tile_stride=32):
         return sdxl.sdxl_unet_forward(params, latents, timestep, emb,
-                                      add_time_id, pooled)
+                                      add_time_id, pooled, tiled=tiled,
+                                      tile_size=tile_size,
+                                      tile_stride=tile_stride)
 
     def encode_prompt(self, prompt, clip_skip=1, clip_skip_2=2):
         pooled, emb = self.prompter.encode_prompt(
@@ -133,13 +143,18 @@ class SDXLImagePipeline:
     def __call__(self, prompt, negative_prompt="", cfg_scale=7.5, clip_skip=1,
                  clip_skip_2=2, input_image=None, denoising_strength=1.0,
                  height=1024, width=1024, num_inference_steps=20, seed=None,
-                 prompt_emb_posi=None, prompt_emb_nega=None):
+                 prompt_emb_posi=None, prompt_emb_nega=None, tiled=False,
+                 tile_size=64, tile_stride=32):
         height, width = check_resize_height_width(height, width, factor=64)
+        tiler_kwargs = {"tiled": tiled, "tile_size": tile_size,
+                        "tile_stride": tile_stride}
         self.scheduler.set_timesteps(num_inference_steps, denoising_strength)
 
         if input_image is not None:
             image = jnp.asarray(preprocess_image(input_image), self.dtype)
-            latents = jax.jit(sdxl.sdxl_vae_encode)(self.vae_encoder_params, image)
+            latents = jax.jit(sdxl.sdxl_vae_encode, static_argnames=(
+                "tiled", "tile_size", "tile_stride"))(
+                self.vae_encoder_params, image, **tiler_kwargs)
             noise = jnp.asarray(
                 generate_noise((1, 4, height // 8, width // 8), seed), self.dtype)
             latents = jnp.asarray(self.scheduler.add_noise(
@@ -175,14 +190,18 @@ class SDXLImagePipeline:
             if cfg_scale != 1.0:
                 noise_pred = self._cfg_unet_impl(
                     self.unet_params, latents, t, emb_posi, emb_nega,
-                    pooled_posi, pooled_nega, add_time_id, float(cfg_scale))
+                    pooled_posi, pooled_nega, add_time_id, float(cfg_scale),
+                    **tiler_kwargs)
             else:
                 noise_pred = self._unet_impl(self.unet_params, latents, t,
-                                             emb_posi, pooled_posi, add_time_id)
+                                             emb_posi, pooled_posi,
+                                             add_time_id, **tiler_kwargs)
             latents = jnp.asarray(
                 self.scheduler.step(np.asarray(noise_pred, np.float32),
                                     timestep,
                                     np.asarray(latents, np.float32)), self.dtype)
 
         return self.vae_output_to_image(
-            jax.jit(sdxl.sdxl_vae_decode)(self.vae_decoder_params, latents))
+            jax.jit(sdxl.sdxl_vae_decode, static_argnames=(
+                "tiled", "tile_size", "tile_stride"))(
+                self.vae_decoder_params, latents, **tiler_kwargs))

@@ -17,6 +17,7 @@ class EnhancedDDIMScheduler:
                  beta_schedule="scaled_linear", prediction_type="epsilon",
                  rescale_zero_terminal_snr=False):
         self.num_train_timesteps = num_train_timesteps
+        self.beta_schedule = beta_schedule
         if beta_schedule == "scaled_linear":
             betas = np.square(np.linspace(math.sqrt(beta_start), math.sqrt(beta_end),
                                           num_train_timesteps, dtype=np.float32))

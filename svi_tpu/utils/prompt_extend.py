@@ -218,3 +218,48 @@ class QwenPromptExpander(PromptExpander):
             status=True, prompt=expanded, seed=seed, system_prompt=system_prompt,
             message=json.dumps({"content": expanded}, ensure_ascii=False),
         )
+
+    def _load_vl(self):
+        if self.model is not None:
+            return
+        from transformers import AutoProcessor, AutoModelForVision2Seq
+
+        self.processor = AutoProcessor.from_pretrained(self.model_name)
+        self.model = AutoModelForVision2Seq.from_pretrained(
+            self.model_name, torch_dtype="auto", device_map="cpu")
+
+    def extend_with_img(self, prompt, system_prompt, image=None, seed=-1,
+                        *args, **kwargs):
+        """Qwen2.5-VL path (ref prompt_extend.py:464-523): chat template +
+        process_vision_info (svi_tpu.utils.qwen_vl) through the processor."""
+        import json as _json
+
+        from .qwen_vl import process_vision_info
+
+        self._load_vl()
+        if not isinstance(image, (list, tuple)):
+            image = [image]
+        messages = [
+            {"role": "system",
+             "content": [{"type": "text", "text": system_prompt}]},
+            {"role": "user",
+             "content": [{"type": "text", "text": prompt},
+                         *[{"type": "image", "image": im} for im in image]]},
+        ]
+        text = self.processor.apply_chat_template(
+            messages, tokenize=False, add_generation_prompt=True)
+        image_inputs, video_inputs = process_vision_info(messages)
+        inputs = self.processor(text=[text], images=image_inputs,
+                                videos=video_inputs, padding=True,
+                                return_tensors="pt")
+        generated = self.model.generate(**inputs, max_new_tokens=512)
+        trimmed = [out[len(inp):]
+                   for inp, out in zip(inputs.input_ids, generated)]
+        expanded = self.processor.batch_decode(
+            trimmed, skip_special_tokens=True,
+            clean_up_tokenization_spaces=False)[0]
+        return PromptOutput(
+            status=True, prompt=expanded, seed=seed,
+            system_prompt=system_prompt,
+            message=_json.dumps({"content": expanded}, ensure_ascii=False),
+        )

@@ -21,6 +21,61 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# This box's XLA:CPU lowers f32 dots to a reduced-precision (bf16-class)
+# fastmath path by default (measured 0.018 abs error on a 1280-dim f32
+# matmul vs 1e-6 at "highest"). Golden-parity tolerances assume true f32.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
 assert jax.device_count() == 8, "expected 8 virtual CPU devices"
+
+
+# ---------------------------------------------------------------------------
+# Fast torch construction for billion-parameter reference modules
+# ---------------------------------------------------------------------------
+# These golden-parity modules construct full-size reference torch models
+# (SDXLUNet, ChatGLM, HunyuanVideoDiT, ...) and immediately overwrite every
+# tensor with a seeded randn state. torch's default kaiming/xavier init for
+# billions of parameters costs several MINUTES per construction on this
+# single-CPU box (measured 492 s for SDXLUNet vs 2 s with init skipped), so
+# the samplers are no-ops for the duration of these modules
+# (reference_loader.fast_init). Files whose tests consume default-init
+# reference weights (tiny Wan configs etc.) are NOT listed.
+
+_FAST_INIT_MODULES = {
+    "test_sd", "test_sdxl", "test_sdxl_video", "test_sd3", "test_flux",
+    "test_cog", "test_controlnets", "test_hunyuan_dit", "test_hunyuan_video",
+    "test_image_quality", "test_ipadapter", "test_kolors", "test_motion",
+    "test_omnigen", "test_stepvideo", "test_svd", "test_tiler",
+}
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _fast_torch_init(request):
+    if request.module.__name__ in _FAST_INIT_MODULES:
+        from reference_loader import fast_init
+
+        with fast_init():
+            yield
+    else:
+        yield
+
+
+# ---------------------------------------------------------------------------
+# Allocation mitigation for this microVM
+# ---------------------------------------------------------------------------
+# Page faults on this Firecracker guest cost ~200us each (100% sys-time under
+# large allocations), so every fresh mmap of a billion-parameter tensor costs
+# minutes. Steering glibc away from mmap for large blocks and disabling trim
+# keeps freed pages in the heap for reuse, so repeated big-model
+# constructions fault each page once per process instead of once per tensor.
+try:
+    import ctypes
+
+    _libc = ctypes.CDLL("libc.so.6", use_errno=True)
+    _libc.mallopt(ctypes.c_int(-3), ctypes.c_int(1 << 30))  # M_MMAP_THRESHOLD
+    _libc.mallopt(ctypes.c_int(-1), ctypes.c_int(-1))       # M_TRIM_THRESHOLD
+except Exception:  # best-effort; absence of glibc mallopt is fine
+    pass

@@ -177,9 +177,39 @@ def _ensure_stubs():
         tvt.ColorJitter = _T
         tvt.RandomApply = _T
         tvt.RandomAdjustSharpness = _T
+        # torchvision.transforms.functional: to_tensor (used by the VACE
+        # image processor) implemented for golden tests; resize delegates to
+        # torch antialias interpolate (what real torchvision does for
+        # tensors); torchvision.io is an unused import in qwen_vl_utils
+        tvf = _mk_module("torchvision.transforms.functional")
+
+        def _to_tensor(pic):
+            import numpy as _np
+            import torch as _torch
+
+            arr = _np.asarray(pic, _np.float32) / 255.0
+            return _torch.from_numpy(arr.transpose(2, 0, 1))
+
+        def _tv_resize(img, size, interpolation="bicubic", antialias=None):
+            import torch as _torch
+
+            mode = getattr(interpolation, "value", interpolation)
+            x = img[None] if img.ndim == 3 else img
+            out = _torch.nn.functional.interpolate(
+                x, size=tuple(size), mode=str(mode),
+                antialias=bool(antialias))
+            return out[0] if img.ndim == 3 else out
+
+        tvf.to_tensor = _to_tensor
+        tvf.resize = _tv_resize
+        tvt.functional = tvf
         tv.transforms = tvt
+        tv.io = _mk_module("torchvision.io")
+        tv.__version__ = "0.0.0"
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tvt
+        sys.modules["torchvision.transforms.functional"] = tvf
+        sys.modules["torchvision.io"] = tv.io
 
     if "xformers" not in sys.modules:
         xformers = _mk_module("xformers")
@@ -307,3 +337,33 @@ def load_ref_module(dotted: str):
     sys.modules[dotted] = mod
     spec.loader.exec_module(mod)
     return mod
+
+
+class fast_init:
+    """Context manager: skip torch's default parameter initialization.
+
+    Constructing billion-parameter reference modules (SDXLUNet & co.) spends
+    minutes in kaiming/xavier/normal init on this 1-CPU box, only for tests
+    to immediately overwrite every tensor via load_state_dict(randn_like).
+    Inside this context the torch.nn.init samplers become no-ops (shapes and
+    dtypes untouched), making construction allocation-bound.
+    """
+
+    _NAMES = ("uniform_", "normal_", "trunc_normal_", "kaiming_uniform_",
+              "kaiming_normal_", "xavier_uniform_", "xavier_normal_",
+              "orthogonal_")
+
+    def __enter__(self):
+        import torch
+
+        self._saved = {n: getattr(torch.nn.init, n) for n in self._NAMES}
+        for n in self._NAMES:
+            setattr(torch.nn.init, n, lambda tensor, *a, **k: tensor)
+        return self
+
+    def __exit__(self, *exc):
+        import torch
+
+        for n, fn in self._saved.items():
+            setattr(torch.nn.init, n, fn)
+        return False
