@@ -240,11 +240,36 @@ def _unpatchify(x, h, w):
     return x.transpose(0, 3, 1, 4, 2, 5).reshape(b, c, h, w)
 
 
+def _entity_attention_mask(patched_masks, s_txt, s_img):
+    """construct_mask (ref flux_dit.py:341-373): each entity prompt attends
+    only to its masked image tokens (and vice versa); entity prompts cannot
+    attend each other; the global prompt (last group) sees everything its
+    all-ones mask allows. Returns an additive (B,1,S,S) f32 mask."""
+    n = len(patched_masks)
+    b = patched_masks[0].shape[0]
+    total = n * s_txt + s_img
+    m = jnp.ones((b, total, total), bool)
+    img0 = n * s_txt
+    for i, pm in enumerate(patched_masks):
+        imask = pm.sum(axis=-1) > 0  # (B, s_img)
+        blk = jnp.repeat(imask[:, None, :], s_txt, axis=1)
+        m = m.at[:, i * s_txt:(i + 1) * s_txt, img0:].set(blk)
+        m = m.at[:, img0:, i * s_txt:(i + 1) * s_txt].set(
+            jnp.swapaxes(blk, 1, 2))
+    for i in range(n):
+        for j in range(n):
+            if i != j:
+                m = m.at[:, i * s_txt:(i + 1) * s_txt,
+                         j * s_txt:(j + 1) * s_txt].set(False)
+    return jnp.where(m, 0.0, float("-inf")).astype(jnp.float32)[:, None]
+
+
 def flux_dit_forward(params: Params, hidden_states, timestep, prompt_emb,
                      pooled_prompt_emb, guidance=None, text_ids=None,
                      image_ids=None, attn_mask=None, controlnet_res=None,
                      ipadapter=None, tiled=False, tile_size=128,
-                     tile_stride=64):
+                     tile_stride=64, entity_prompt_emb=None,
+                     entity_masks=None):
     """FluxDiT.forward (ref flux_dit.py:404-470). hidden_states (B,16,H,W);
     prompt_emb (B,S,4096) T5 states; pooled (B,768) CLIP; guidance scalar per
     sample (embedded *1000 when the guidance embedder exists).
@@ -267,13 +292,56 @@ def flux_dit_forward(params: Params, hidden_states, timestep, prompt_emb,
                 pooled_prompt_emb, guidance=guidance, text_ids=text_ids,
                 image_ids=None), 1, -1),
             jnp.moveaxis(hidden_states, 1, -1), tile_size, tile_stride), -1, 1)
+    b, _, h, w = hidden_states.shape
+    xa, ctx, temb, cos, sin, attn_mask = flux_dit_prelude(
+        params, hidden_states, timestep, prompt_emb, pooled_prompt_emb,
+        guidance=guidance, text_ids=text_ids, image_ids=image_ids,
+        attn_mask=attn_mask, entity_prompt_emb=entity_prompt_emb,
+        entity_masks=entity_masks)
+    xa = flux_dit_blocks(params, xa, ctx, temb, cos, sin,
+                         attn_mask=attn_mask, controlnet_res=controlnet_res,
+                         ipadapter=ipadapter)
+    return flux_dit_head(params, xa, temb, h, w)
+
+
+def flux_dit_prelude(params: Params, hidden_states, timestep, prompt_emb,
+                     pooled_prompt_emb, guidance=None, text_ids=None,
+                     image_ids=None, attn_mask=None, entity_prompt_emb=None,
+                     entity_masks=None):
+    """Everything before the block stacks (ref lets_dance_flux:564-597):
+    time/pooled/guidance conditioning, patchify+x_embedder, context
+    embedding (with the EliGen entity grouping), RoPE tables. Split out so
+    TeaCache can decide reuse on the embedded tokens (ref :600-606)."""
     x = hidden_states
     b, _, h, w = x.shape
     dtype = x.dtype
+    # conditioning follows the latent compute dtype (callers may hand f32
+    # encoder outputs to a bf16 model; mixed ctx/xa would promote the block
+    # scan carry and break under jit)
+    prompt_emb = prompt_emb.astype(dtype)
+    if entity_prompt_emb is not None:
+        entity_prompt_emb = entity_prompt_emb.astype(dtype)
     if image_ids is None:
         image_ids = prepare_image_ids(x)
     if text_ids is None:
         text_ids = jnp.zeros((b, prompt_emb.shape[1], 3), jnp.float32)
+
+    if entity_prompt_emb is not None and entity_masks is not None:
+        # EliGen (ref flux_dit.py:376-402 process_entity_masks): entity
+        # prompt groups lead the text stream [e_0..e_{n-1} | global] with a
+        # block attention mask; rope text ids are repeated per group.
+        n_ent = entity_masks.shape[1]
+        rep = x.shape[1]
+        mask_imgs = [jnp.repeat(entity_masks[:, i].astype(dtype), rep, axis=1)
+                     for i in range(n_ent)]
+        mask_imgs.append(jnp.ones_like(mask_imgs[0]))  # global sees all
+        patched = [_patchify(m) for m in mask_imgs]
+        s_txt = prompt_emb.shape[1]
+        attn_mask = _entity_attention_mask(patched, s_txt, patched[0].shape[1])
+        prompt_emb = jnp.concatenate(
+            [entity_prompt_emb[:, i] for i in range(n_ent)] + [prompt_emb],
+            axis=1)
+        text_ids = jnp.concatenate([text_ids] * (n_ent + 1), axis=1)
 
     temb = timestep_embedding(jnp.atleast_1d(timestep), 256).astype(dtype)
     temb = _dense(params["time_embedder"]["2"],
@@ -290,7 +358,21 @@ def flux_dit_forward(params: Params, hidden_states, timestep, prompt_emb,
     xa = _dense(params["x_embedder"], _patchify(x))
     ctx = _dense(params["context_embedder"], prompt_emb)
     cos, sin = flux_rope_tables(jnp.concatenate([text_ids, image_ids], axis=1))
+    return xa, ctx, temb, cos, sin, attn_mask
 
+
+def flux_teacache_modulated(params: Params, xa, temb):
+    """blocks[0].norm1_a modulated input — the TeaCache decision signal
+    (ref flux_image.py:480-483)."""
+    p0 = jax.tree.map(lambda a: a[0], params["blocks"])
+    shift_a, scale_a, *_ = _ada_mod(p0["norm1_a"], temb, 6)
+    return _ln_nowb(xa) * (1 + scale_a) + shift_a
+
+
+def flux_dit_blocks(params: Params, xa, ctx, temb, cos, sin, attn_mask=None,
+                    controlnet_res=None, ipadapter=None):
+    """The joint + single block stacks (ref lets_dance_flux:608-637);
+    returns the final image tokens (pre-head)."""
     num_heads = xa.shape[-1] // 128
     n_joint = jax.tree.leaves(params["blocks"])[0].shape[0]
     joint_res = single_res = None
@@ -331,8 +413,11 @@ def flux_dit_forward(params: Params, hidden_states, timestep, prompt_emb,
 
     xs, _ = jax.lax.scan(single_body, xs,
                          (params["single_blocks"], single_res, ip_single))
-    xa = xs[:, ctx.shape[1]:]
+    return xs[:, ctx.shape[1]:]
 
+
+def flux_dit_head(params: Params, xa, temb, h, w):
+    """AdaLayerNormContinuous head + unpatchify (ref lets_dance_flux:643-646)."""
     emb = _dense(params["final_norm_out"]["linear"], jax.nn.silu(temb))
     scale, shift = jnp.split(emb[:, None], 2, axis=2)  # continuous: scale 1st
     xa = _ln_nowb(xa) * (1 + scale) + shift

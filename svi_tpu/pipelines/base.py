@@ -98,3 +98,83 @@ def frames_from_uint8(video_u8: np.ndarray):
     from PIL import Image
 
     return [Image.fromarray(f) for f in np.transpose(video_u8, (1, 2, 3, 0))]
+
+
+def _gaussian_kernel1d(kernel_size: int, sigma: float) -> np.ndarray:
+    """torchvision _get_gaussian_kernel1d: symmetric normalized gaussian."""
+    lim = (kernel_size - 1) / 2
+    x = np.linspace(-lim, lim, kernel_size)
+    pdf = np.exp(-0.5 * (x / sigma) ** 2)
+    return (pdf / pdf.sum()).astype(np.float32)
+
+
+def gaussian_blur(x: np.ndarray, kernel_size: int = 33,
+                  sigma: float = 10.0) -> np.ndarray:
+    """torchvision GaussianBlur on (B,C,H,W): separable reflect-padded
+    convolution (used by merge_latents to feather regional masks)."""
+    k = _gaussian_kernel1d(kernel_size, sigma)
+    pad = kernel_size // 2
+    x = np.asarray(x, np.float32)
+    xp = np.pad(x, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="reflect")
+    x = np.einsum("k,bckhw->bchw", k, np.stack(
+        [xp[:, :, i:i + x.shape[2], :] for i in range(kernel_size)], axis=2))
+    xp = np.pad(x, ((0, 0), (0, 0), (0, 0), (pad, pad)), mode="reflect")
+    x = np.einsum("k,bchkw->bchw", k, np.stack(
+        [xp[:, :, :, i:i + x.shape[3]] for i in range(kernel_size)], axis=3))
+    return x
+
+
+def merge_latents(value, latents, masks, scales, blur_kernel_size=33,
+                  blur_sigma=10.0):
+    """Ref base.py:67-79: feathered mask-weighted average of the global
+    prediction with per-region local predictions. value/latents: (B,C,h,w)
+    arrays; masks: PIL images (resized to the latent grid)."""
+    value = np.asarray(value, np.float32).copy()
+    if len(latents) > 0:
+        height, width = value.shape[-2:]
+        weight = np.ones_like(value)
+        for latent, mask, scale in zip(latents, masks, scales):
+            m = preprocess_image(mask.resize((width, height)))
+            m = (m.mean(axis=1, keepdims=True) > 0).astype(np.float32)
+            m = np.repeat(m, value.shape[1], axis=1)
+            m = gaussian_blur(m, blur_kernel_size, blur_sigma)
+            value += np.asarray(latent, np.float32) * m * scale
+            weight += m * scale
+        value /= weight
+    return value
+
+
+def control_noise_via_local_prompts(prompt_emb_global, prompt_emb_locals,
+                                    masks, mask_scales, inference_callback,
+                                    special_kwargs=None,
+                                    special_local_kwargs_list=None):
+    """Ref base.py:82-92: run the model once globally and once per regional
+    prompt, then merge with feathered masks."""
+    if special_kwargs is None:
+        noise_pred_global = inference_callback(prompt_emb_global)
+    else:
+        noise_pred_global = inference_callback(prompt_emb_global,
+                                               special_kwargs)
+    if special_local_kwargs_list is None:
+        noise_pred_locals = [inference_callback(e) for e in prompt_emb_locals]
+    else:
+        noise_pred_locals = [
+            inference_callback(e, kw)
+            for e, kw in zip(prompt_emb_locals, special_local_kwargs_list)]
+    return merge_latents(noise_pred_global, noise_pred_locals, masks,
+                         mask_scales)
+
+
+def extend_prompt(prompter, prompt, local_prompts, masks, mask_scales):
+    """Ref base.py:95-104: fold prompter-generated regional prompts (Omost)
+    into the user-provided ones (generated regions get scale 100)."""
+    local_prompts = list(local_prompts or [])
+    masks = list(masks or [])
+    mask_scales = list(mask_scales or [])
+    extend = getattr(prompter, "extend_prompt", None)
+    extended = extend(prompt) if extend is not None else {"prompt": prompt}
+    prompt = extended.get("prompt", prompt)
+    local_prompts += extended.get("prompts", [])
+    masks += extended.get("masks", [])
+    mask_scales += [100.0] * len(extended.get("masks", []))
+    return prompt, local_prompts, masks, mask_scales

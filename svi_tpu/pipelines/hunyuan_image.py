@@ -22,7 +22,8 @@ from ..models import hunyuan_dit as hy
 from ..models.sd import sd_vae_decoder_params_from_torch  # noqa: F401 (re-export convenience)
 from ..models import sdxl
 from ..schedulers.ddim import EnhancedDDIMScheduler
-from .base import check_resize_height_width, generate_noise, preprocess_image
+from .base import (check_resize_height_width, control_noise_via_local_prompts,
+                   extend_prompt, generate_noise, preprocess_image)
 
 
 class HunyuanTextEncoderWrapper:
@@ -99,8 +100,12 @@ class HunyuanDiTImagePipeline:
                  clip_skip_2=1, input_image=None, denoising_strength=1.0,
                  height=1024, width=1024, num_inference_steps=20, seed=None,
                  prompt_emb_posi=None, prompt_emb_nega=None, tiled=False,
-                 tile_size=64, tile_stride=32):
+                 tile_size=64, tile_stride=32, local_prompts=None, masks=None,
+                 mask_scales=None):
         height, width = check_resize_height_width(height, width, factor=16)
+        prompter = getattr(self.text_encoder, "prompter", None)
+        prompt, local_prompts, masks, mask_scales = extend_prompt(
+            prompter, prompt, local_prompts, masks, mask_scales)
         tiler_kwargs = {"tiled": tiled, "tile_size": tile_size,
                         "tile_stride": tile_stride}
         vae_jit_kw = {"static_argnames": ("tiled", "tile_size", "tile_stride")}
@@ -122,6 +127,8 @@ class HunyuanDiTImagePipeline:
         if prompt_emb_nega is None and cfg_scale != 1.0:
             prompt_emb_nega = self.text_encoder(negative_prompt, clip_skip,
                                                 clip_skip_2)
+        prompt_emb_locals = [self.text_encoder(pl, clip_skip, clip_skip_2)
+                             for pl in (local_prompts or [])]
 
         # tiled: size embedding and RoPE tables describe ONE tile
         # (ref hunyuan_image.py:193-206)
@@ -135,9 +142,24 @@ class HunyuanDiTImagePipeline:
 
         for timestep in self.scheduler.timesteps:
             t = jnp.asarray([timestep], self.dtype)
-            noise_pred = self._cfg_dit(latents, t, prompt_emb_posi,
-                                       prompt_emb_nega, size_emb, freqs,
-                                       float(cfg_scale), **tiler_kwargs)
+            if local_prompts:
+                # region-merge the positive branch (ref hunyuan_image.py
+                # :263-273)
+                cb = lambda emb: np.asarray(self._cfg_dit(
+                    latents, t, emb, None, size_emb, freqs, 1.0,
+                    **tiler_kwargs), np.float32)
+                posi = control_noise_via_local_prompts(
+                    prompt_emb_posi, prompt_emb_locals, masks, mask_scales,
+                    cb)
+                if cfg_scale != 1.0:
+                    nega = cb(prompt_emb_nega)
+                    noise_pred = nega + float(cfg_scale) * (posi - nega)
+                else:
+                    noise_pred = posi
+            else:
+                noise_pred = self._cfg_dit(latents, t, prompt_emb_posi,
+                                           prompt_emb_nega, size_emb, freqs,
+                                           float(cfg_scale), **tiler_kwargs)
             latents = jnp.asarray(
                 self.scheduler.step(np.asarray(noise_pred, np.float32),
                                     timestep,

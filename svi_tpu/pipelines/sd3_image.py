@@ -19,7 +19,8 @@ import numpy as np
 
 from ..models import sd3, sdxl
 from ..schedulers.flow_match import FlowMatchScheduler
-from .base import check_resize_height_width, generate_noise, preprocess_image
+from .base import (check_resize_height_width, control_noise_via_local_prompts,
+                   extend_prompt, generate_noise, preprocess_image)
 
 
 class SD3Prompter:
@@ -98,6 +99,15 @@ class SD3ImagePipeline:
         posi, nega = jnp.split(pred, 2, axis=0)
         return nega + cfg_scale * (posi - nega)
 
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=("tiled", "tile_size",
+                                                 "tile_stride"))
+    def _dit_single(params, latents, timestep, emb, pooled, tiled=False,
+                    tile_size=128, tile_stride=64):
+        return sd3.sd3_dit_forward(params, latents, timestep, emb, pooled,
+                                   tiled=tiled, tile_size=tile_size,
+                                   tile_stride=tile_stride)
+
     def encode_prompt(self, prompt, t5_sequence_length=77):
         emb, pooled = self.prompter.encode_prompt(
             self.text_encoder_1_params, self.text_encoder_2_params, self.t5,
@@ -114,8 +124,11 @@ class SD3ImagePipeline:
                  input_image=None, denoising_strength=1.0, height=1024,
                  width=1024, num_inference_steps=28, t5_sequence_length=77,
                  seed=None, prompt_emb_posi=None, prompt_emb_nega=None,
-                 tiled=False, tile_size=128, tile_stride=64):
+                 tiled=False, tile_size=128, tile_stride=64,
+                 local_prompts=None, masks=None, mask_scales=None):
         height, width = check_resize_height_width(height, width, factor=64)
+        prompt, local_prompts, masks, mask_scales = extend_prompt(
+            self.prompter, prompt, local_prompts, masks, mask_scales)
         tiler_kwargs = {"tiled": tiled, "tile_size": tile_size,
                         "tile_stride": tile_stride}
         self.scheduler.set_timesteps(num_inference_steps, denoising_strength)
@@ -140,12 +153,24 @@ class SD3ImagePipeline:
                                                  t5_sequence_length)
         emb_posi, pooled_posi = prompt_emb_posi
         emb_nega, pooled_nega = prompt_emb_nega
+        prompt_emb_locals = [self.encode_prompt(pl, t5_sequence_length)
+                             for pl in local_prompts]
 
         for i, timestep in enumerate(np.asarray(self.scheduler.timesteps)):
             t = jnp.asarray([timestep], self.dtype)
-            noise_pred = self._cfg_dit_impl(
-                self.dit_params, latents, t, emb_posi, emb_nega,
-                pooled_posi, pooled_nega, float(cfg_scale), **tiler_kwargs)
+            if local_prompts:
+                cb = lambda pe: np.asarray(self._dit_single(
+                    self.dit_params, latents, t, pe[0], pe[1],
+                    **tiler_kwargs), np.float32)
+                posi = control_noise_via_local_prompts(
+                    (emb_posi, pooled_posi), prompt_emb_locals, masks,
+                    mask_scales, cb)
+                nega = cb((emb_nega, pooled_nega))
+                noise_pred = nega + float(cfg_scale) * (posi - nega)
+            else:
+                noise_pred = self._cfg_dit_impl(
+                    self.dit_params, latents, t, emb_posi, emb_nega,
+                    pooled_posi, pooled_nega, float(cfg_scale), **tiler_kwargs)
             latents = jnp.asarray(self.scheduler.step(
                 np.asarray(noise_pred, np.float32),
                 self.scheduler.timesteps[i],

@@ -24,7 +24,8 @@ from ..models import sd
 from ..prompters.base_prompter import BasePrompter, tokenize_long_prompt
 from ..prompters import textual_inversion as ti
 from ..schedulers.ddim import EnhancedDDIMScheduler
-from .base import check_resize_height_width, generate_noise, preprocess_image
+from .base import (check_resize_height_width, control_noise_via_local_prompts,
+                   extend_prompt, generate_noise, preprocess_image)
 
 
 class SDPrompter(BasePrompter):
@@ -127,6 +128,15 @@ class SDImagePipeline:
                                    emb_posi, emb_nega, cfg_scale,
                                    **tiler_kwargs)
 
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=("tiled", "tile_size",
+                                                 "tile_stride"))
+    def _unet_single_impl(params, latents, timestep, emb, tiled=False,
+                          tile_size=64, tile_stride=32):
+        return sd.sd_unet_forward(params, latents, timestep, emb, tiled=tiled,
+                                  tile_size=tile_size,
+                                  tile_stride=tile_stride)
+
     def _decode(self, latents, **tiler_kwargs):
         return jax.jit(sd.sd_vae_decode, static_argnames=(
             "tiled", "tile_size", "tile_stride"))(
@@ -154,8 +164,13 @@ class SDImagePipeline:
                  input_image=None, denoising_strength=1.0, height=512,
                  width=512, num_inference_steps=20, seed=None,
                  prompt_emb_posi=None, prompt_emb_nega=None, tiled=False,
-                 tile_size=64, tile_stride=32):
+                 tile_size=64, tile_stride=32, local_prompts=None, masks=None,
+                 mask_scales=None):
         height, width = check_resize_height_width(height, width, factor=64)
+        # regional prompting (ref sd_image.py:139-144 / base.py:95-104):
+        # user-supplied masks + Omost-extended regions
+        prompt, local_prompts, masks, mask_scales = extend_prompt(
+            self.prompter, prompt, local_prompts, masks, mask_scales)
         tiler_kwargs = {"tiled": tiled, "tile_size": tile_size,
                         "tile_stride": tile_stride}
         self.scheduler.set_timesteps(num_inference_steps, denoising_strength)
@@ -176,6 +191,8 @@ class SDImagePipeline:
         if prompt_emb_nega is None:
             prompt_emb_nega = self.encode_prompt(negative_prompt, clip_skip,
                                                  positive=False)
+        prompt_emb_locals = [self.encode_prompt(pl, clip_skip)
+                             for pl in local_prompts]
         # equal-length contexts for the batched CFG pass: pad the shorter one
         # with repeats of the final 77-token chunk (a full padding chunk)
         n = max(prompt_emb_posi.shape[1], prompt_emb_nega.shape[1])
@@ -189,9 +206,21 @@ class SDImagePipeline:
 
         for timestep in self.scheduler.timesteps:
             t = jnp.asarray([timestep], self.dtype)
-            noise_pred = self._cfg_unet(latents, t, prompt_emb_posi,
-                                        prompt_emb_nega, float(cfg_scale),
-                                        **tiler_kwargs)
+            if local_prompts:
+                # separate branches so only the positive one is region-merged
+                # (ref sd_image.py:164-176)
+                cb = lambda emb: np.asarray(self._unet_single_impl(
+                    self.unet_params, latents, t, emb, **tiler_kwargs),
+                    np.float32)
+                posi = control_noise_via_local_prompts(
+                    prompt_emb_posi, prompt_emb_locals, masks, mask_scales,
+                    cb)
+                nega = cb(prompt_emb_nega)
+                noise_pred = nega + float(cfg_scale) * (posi - nega)
+            else:
+                noise_pred = self._cfg_unet(latents, t, prompt_emb_posi,
+                                            prompt_emb_nega, float(cfg_scale),
+                                            **tiler_kwargs)
             latents = jnp.asarray(
                 self.scheduler.step(np.asarray(noise_pred, np.float32),
                                     timestep,

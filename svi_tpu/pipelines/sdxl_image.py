@@ -18,7 +18,8 @@ import numpy as np
 
 from ..models import sdxl
 from ..schedulers.ddim import EnhancedDDIMScheduler
-from .base import check_resize_height_width, generate_noise, preprocess_image
+from .base import (check_resize_height_width, control_noise_via_local_prompts,
+                   extend_prompt, generate_noise, preprocess_image)
 from .sd_image import tokenize_long_prompt
 
 
@@ -144,8 +145,11 @@ class SDXLImagePipeline:
                  clip_skip_2=2, input_image=None, denoising_strength=1.0,
                  height=1024, width=1024, num_inference_steps=20, seed=None,
                  prompt_emb_posi=None, prompt_emb_nega=None, tiled=False,
-                 tile_size=64, tile_stride=32):
+                 tile_size=64, tile_stride=32, local_prompts=None, masks=None,
+                 mask_scales=None):
         height, width = check_resize_height_width(height, width, factor=64)
+        prompt, local_prompts, masks, mask_scales = extend_prompt(
+            self.prompter, prompt, local_prompts, masks, mask_scales)
         tiler_kwargs = {"tiled": tiled, "tile_size": tile_size,
                         "tile_stride": tile_stride}
         self.scheduler.set_timesteps(num_inference_steps, denoising_strength)
@@ -168,6 +172,8 @@ class SDXLImagePipeline:
         if prompt_emb_nega is None and cfg_scale != 1.0:
             prompt_emb_nega = self.encode_prompt(negative_prompt, clip_skip,
                                                  clip_skip_2)
+        prompt_emb_locals = [self.encode_prompt(pl, clip_skip, clip_skip_2)
+                             for pl in local_prompts]
         pooled_posi, emb_posi = prompt_emb_posi
         # add_time_id: (height, width, 0, 0, height, width) per sample
         # (ref sdxl_image.py:105-108)
@@ -187,7 +193,20 @@ class SDXLImagePipeline:
 
         for timestep in self.scheduler.timesteps:
             t = jnp.asarray([timestep], self.dtype)
-            if cfg_scale != 1.0:
+            if local_prompts:
+                # region-merge only the positive branch (ref sdxl_image.py)
+                cb = lambda pe: np.asarray(self._unet_impl(
+                    self.unet_params, latents, t, pe[1], pe[0], add_time_id,
+                    **tiler_kwargs), np.float32)
+                posi = control_noise_via_local_prompts(
+                    (pooled_posi, emb_posi), prompt_emb_locals, masks,
+                    mask_scales, cb)
+                if cfg_scale != 1.0:
+                    nega = cb((pooled_nega, emb_nega))
+                    noise_pred = nega + float(cfg_scale) * (posi - nega)
+                else:
+                    noise_pred = posi
+            elif cfg_scale != 1.0:
                 noise_pred = self._cfg_unet_impl(
                     self.unet_params, latents, t, emb_posi, emb_nega,
                     pooled_posi, pooled_nega, add_time_id, float(cfg_scale),

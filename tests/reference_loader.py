@@ -166,6 +166,42 @@ def _ensure_stubs():
         class _InterpolationMode:
             BICUBIC = "bicubic"
 
+        class _GaussianBlur:
+            """Functional torchvision.transforms.GaussianBlur (the real
+            kernel/reflect-pad math) — the reference's merge_latents
+            (base.py:67-79) needs a working blur for golden tests."""
+
+            def __init__(self, kernel_size, sigma):
+                self.kernel_size = kernel_size if isinstance(
+                    kernel_size, (tuple, list)) else (kernel_size, kernel_size)
+                self.sigma = sigma if isinstance(sigma, (tuple, list)) \
+                    else (sigma, sigma)
+
+            @staticmethod
+            def _kernel1d(k, s):
+                import torch as _torch
+
+                lim = (k - 1) / 2
+                x = _torch.linspace(-lim, lim, k)
+                pdf = _torch.exp(-0.5 * (x / s) ** 2)
+                return pdf / pdf.sum()
+
+            def __call__(self, img):
+                import torch as _torch
+                import torch.nn.functional as F
+
+                kx, ky = self.kernel_size
+                sx, sy = self.sigma
+                c = img.shape[-3]
+                k1 = self._kernel1d(ky, sy).to(img.dtype)
+                k2 = self._kernel1d(kx, sx).to(img.dtype)
+                kernel = _torch.outer(k1, k2)[None, None].expand(c, 1, ky, kx)
+                x = img if img.ndim == 4 else img[None]
+                x = F.pad(x, (kx // 2, kx // 2, ky // 2, ky // 2),
+                          mode="reflect")
+                out = F.conv2d(x, kernel, groups=c)
+                return out if img.ndim == 4 else out[0]
+
         tvt.Compose = _Compose
         tvt.Resize = _T
         tvt.CenterCrop = _T
@@ -173,7 +209,7 @@ def _ensure_stubs():
         tvt.ToPILImage = _T
         tvt.Normalize = _Normalize
         tvt.InterpolationMode = _InterpolationMode
-        tvt.GaussianBlur = _T
+        tvt.GaussianBlur = _GaussianBlur
         tvt.ColorJitter = _T
         tvt.RandomApply = _T
         tvt.RandomAdjustSharpness = _T

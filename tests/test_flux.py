@@ -268,3 +268,78 @@ def test_flux_ipadapter_and_controlnet_through_dit():
         ipadapter=(ip_k, ip_v, 0.9)))
     assert ours.shape == ref_out.shape
     np.testing.assert_allclose(ours, ref_out, rtol=4e-3, atol=4e-3)
+
+
+def test_flux_dit_eligen_entity_masks_parity():
+    """EliGen entity-mask forward vs the reference process_entity_masks path
+    (ref flux_dit.py:341-402, :437-441)."""
+    _, model, state = _tiny_flux_dit()
+    params = flux.flux_dit_params_from_torch(state)
+
+    torch.manual_seed(3)
+    latents = torch.randn(1, 16, 16, 24) * 0.5
+    timestep = torch.tensor([700.0])
+    prompt_emb = torch.randn(1, 32, 32) * 0.1
+    pooled = torch.randn(1, 768) * 0.1
+    guidance = torch.tensor([3.5])
+    entity_prompts = torch.randn(1, 2, 32, 32) * 0.1
+    masks = torch.zeros(1, 2, 1, 16, 24)
+    masks[:, 0, :, :, :12] = 1.0   # entity 0: left half
+    masks[:, 1, :, :8, 12:] = 1.0  # entity 1: top-right
+    with torch.no_grad():
+        ref_out = model(latents, timestep, prompt_emb, pooled, guidance,
+                        text_ids=torch.zeros(1, 32, 3),
+                        entity_prompt_emb=entity_prompts,
+                        entity_masks=masks).numpy()
+    ours = np.asarray(flux.flux_dit_forward(
+        params, jnp.asarray(latents.numpy()), jnp.asarray(timestep.numpy()),
+        jnp.asarray(prompt_emb.numpy()), jnp.asarray(pooled.numpy()),
+        guidance=jnp.asarray(guidance.numpy()),
+        entity_prompt_emb=jnp.asarray(entity_prompts.numpy()),
+        entity_masks=jnp.asarray(masks.numpy())))
+    assert ours.shape == ref_out.shape
+    np.testing.assert_allclose(ours, ref_out, rtol=3e-3, atol=3e-3)
+
+
+def test_flux_teacache_decisions_and_pipeline():
+    """FluxTeaCache decision sequence (ref flux_image.py:480-497) and the
+    cached positive branch in the pipeline."""
+    from svi_tpu.pipelines.flux_image import FluxImagePipeline, FluxTeaCache
+
+    tc = FluxTeaCache(num_inference_steps=4, rel_l1_thresh=1e9)
+    m0 = np.ones((1, 8, 4), np.float32)
+    assert tc.check(m0) is False          # step 0 always computes
+    assert tc.check(m0 * 1.01) is True    # accumulated < huge thresh -> reuse
+    assert tc.check(m0 * 1.02) is True
+    assert tc.check(m0 * 1.03) is False   # last step always computes
+
+    tc0 = FluxTeaCache(num_inference_steps=4, rel_l1_thresh=0.0)
+    assert tc0.check(m0) is False
+    assert tc0.check(m0 * 2) is False     # thresh 0 -> never reuse
+
+    # pipeline smoke: cached run completes; huge threshold reuses the
+    # block-stack residual on middle steps yet matches uncached at step 0
+    _, model, state = _tiny_flux_dit(n_joint=1, n_single=1, seed=21)
+    params = flux.flux_dit_params_from_torch(state)
+    pipe = FluxImagePipeline(params)
+    pipe.vae_output_to_image = lambda v: np.asarray(v)  # latent out
+    rng = np.random.default_rng(0)
+    emb = (jnp.asarray(rng.normal(size=(1, 32, 32)), jnp.float32),
+           jnp.asarray(rng.normal(size=(1, 768)), jnp.float32))
+
+    import svi_tpu.pipelines.flux_image as fi
+
+    def run(**kw):
+        orig = fi.flux.flux_vae_decode
+        try:
+            fi.flux.flux_vae_decode = lambda p, l, **k: l  # stub VAE decode
+            return np.asarray(pipe("", height=32, width=48,
+                                   num_inference_steps=2, seed=3,
+                                   prompt_emb_posi=emb, cfg_scale=1.0, **kw))
+        finally:
+            fi.flux.flux_vae_decode = orig
+
+    # 2 steps: first + last always compute, so cached == uncached exactly
+    a = run()
+    b = run(tea_cache_l1_thresh=1e9)
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)

@@ -1,0 +1,142 @@
+"""SDXLVideoPipeline (AnimateDiff-SDXL) golden parity + behavior tests.
+
+Reference: diffsynth/pipelines/sdxl_video.py, pipelines/dancer.py
+lets_dance_xl, models/sdxl_motion.py, models/sdxl_ipadapter.py:67-81.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from reference_loader import load_ref_module, load_reference_package
+
+from svi_tpu.models import motion as mo
+from svi_tpu.models import sdxl as sdxl_models
+
+
+def _randn_state(module, seed, scale=0.05):
+    torch.manual_seed(seed)
+    state = module.state_dict()
+    for k in state:
+        state[k] = torch.randn_like(state[k]) * scale
+    module.load_state_dict(state)
+    return dict(state)
+
+
+@pytest.fixture(scope="module")
+def shared_unet():
+    """One full-size SDXLUNet (torch module + converted params), shared by
+    every test in this file — construction is the dominant cost on CPU."""
+    unet_mod = load_ref_module("diffsynth.models.sdxl_unet")
+    unet = unet_mod.SDXLUNet().eval()
+    params = sdxl_models.sdxl_unet_params_from_torch(_randn_state(unet, 0))
+    return unet, params
+
+
+def test_sdxl_motion_lets_dance_xl_parity(shared_unet):
+    """Full-clip UNet+motion forward vs the reference lets_dance_xl loop
+    (ref dancer.py:119-239)."""
+    unet_mod = load_ref_module("diffsynth.models.sdxl_unet")
+    motion_mod = load_ref_module("diffsynth.models.sdxl_motion")
+    unet, unet_params = shared_unet
+    mm = motion_mod.SDXLMotionModel().eval()
+    mm_params = mo.motion_params_from_torch(_randn_state(mm, 1))
+
+    load_reference_package()
+    models_pkg = sys.modules["diffsynth.models"]
+    models_pkg.SDUNet = type("SDUNet", (), {})
+    models_pkg.SDXLUNet = unet_mod.SDXLUNet
+    models_pkg.SDMotionModel = type("SDMotionModel", (), {})
+    models_pkg.SDXLMotionModel = motion_mod.SDXLMotionModel
+    dancer = load_ref_module("diffsynth.pipelines.dancer")
+
+    torch.manual_seed(2)
+    frames = 2
+    sample = torch.randn(frames, 4, 8, 8)
+    timestep = torch.tensor([515.0])
+    text = torch.randn(1, 77, 2048) * 0.3
+    pooled = torch.randn(1, 1280) * 0.3
+    add_time_id = torch.tensor([64.0, 64.0, 0.0, 0.0, 64.0, 64.0])
+
+    def run_ref(m, mm_, s_, t_, p_, a_):
+        with torch.no_grad():
+            return dancer.lets_dance_xl(
+                m, motion_modules=mm_, sample=s_, timestep=timestep.to(s_.dtype),
+                encoder_hidden_states=t_.repeat(frames, 1, 1),
+                add_time_id=a_.repeat(frames),
+                add_text_embeds=p_.repeat(frames, 1),
+                unet_batch_size=frames, device="cpu").numpy()
+
+    ref32 = run_ref(unet, mm, sample, text, pooled, add_time_id)
+    # 49 UNet blocks + 15 motion modules amplify f32 rounding noise
+    # exponentially (measured: no per-block jump; ours tracks torch's own
+    # f32-vs-f64 error within 0.6-1.7x at EVERY block), so a fixed tolerance
+    # is meaningless. Bound our error by the reference's OWN f32 noise
+    # floor, measured against its f64 run.
+    ref64 = run_ref(unet.double(), mm.double(), sample.double(),
+                    text.double(), pooled.double(), add_time_id.double())
+    unet.float(), mm.float()  # restore the shared fixture
+    noise_floor = np.abs(ref32 - ref64.astype(np.float32)).max()
+
+    hooks = mo.motion_hooks(mm_params, call_map=mo.SDXL_MOTION_CALL_MAP,
+                            batch_size=1)
+    ours = np.asarray(sdxl_models.sdxl_unet_forward(
+        unet_params, jnp.asarray(sample.numpy()),
+        jnp.asarray(timestep.numpy()),
+        jnp.asarray(text.numpy().repeat(frames, 0)),
+        jnp.asarray(add_time_id.numpy().repeat(frames)),
+        jnp.asarray(pooled.numpy().repeat(frames, 0)), motion=hooks))
+    err = np.abs(ours - ref64.astype(np.float32)).max()
+    assert err <= 3 * noise_floor + 1e-6, (err, noise_floor)
+
+
+def test_sdxl_video_pipeline_smoke_and_shared_noise(shared_unet):
+    """Without motion modules every frame gets the SAME noise
+    (ref sdxl_video.py:140-143) -> identical frames from a frame-constant
+    pipeline; scheduler flavors per ref :17-19,57-64."""
+    from svi_tpu.pipelines.sdxl_video import SDXLVideoPipeline
+
+    _, params = shared_unet
+    dec_mod = load_ref_module("diffsynth.models.sdxl_vae_decoder")
+    from svi_tpu.models import sd as sd_models
+
+    dec = dec_mod.SDXLVAEDecoder().eval()
+    dec_params = sd_models.sd_vae_decoder_params_from_torch(
+        _randn_state(dec, 7))
+
+    pipe = SDXLVideoPipeline(params, vae_decoder_params=dec_params)
+    assert pipe.scheduler.beta_schedule == "scaled_linear"  # no motion
+
+    rng = np.random.default_rng(0)
+    posi = (jnp.asarray(rng.normal(size=(1, 1280)), jnp.float32),
+            jnp.asarray(rng.normal(size=(1, 77, 2048)), jnp.float32))
+    frames = pipe("", num_frames=2, height=64, width=64,
+                  num_inference_steps=2, seed=0, cfg_scale=1.0,
+                  prompt_emb_posi=posi, prompt_emb_nega=(posi[0] * 0,
+                                                         posi[1] * 0))
+    assert len(frames) == 2 and frames[0].size == (64, 64)
+    np.testing.assert_array_equal(np.asarray(frames[0]),
+                                  np.asarray(frames[1]))
+
+
+def test_sdxl_video_scheduler_with_motion_is_linear():
+    from svi_tpu.pipelines.sdxl_video import SDXLVideoPipeline
+
+    pipe = SDXLVideoPipeline(None, motion_params={"motion_modules": []})
+    assert pipe.scheduler.beta_schedule == "linear"
+
+
+def test_instant_style_map_subset():
+    """set_less_adapter keeps modules 34..43 (ref sdxl_ipadapter.py:67-81)."""
+    from svi_tpu.models.ipadapter import (
+        SDXL_IPADAPTER_MAP,
+        SDXL_IPADAPTER_MAP_LESS,
+    )
+
+    assert set(SDXL_IPADAPTER_MAP_LESS.values()) == set(range(34, 44))
+    for k, v in SDXL_IPADAPTER_MAP_LESS.items():
+        assert SDXL_IPADAPTER_MAP[k] == v
