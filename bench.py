@@ -1,31 +1,59 @@
 """SVI-TPU benchmark: one full SVI clip at the flagship spec on one chip.
 
-Measures the production per-clip pipeline — conditioning encode (CLIP fp32 +
-VAE bf16-interior/f32-accumulation), 50-step CFG-batched bf16 DiT denoise,
-causal VAE decode — at 480x832, 81 frames (BASELINE.md per-clip spec), using
-the Wan 1.3B-dim I2V architecture as the HEADLINE metric (methodology
-unchanged from round 1), plus in `detail`:
+HEADLINE (BASELINE.json metric): the Wan-14B-I2V flagship — 480x832, 81
+frames, 50 denoise steps, CFG — running single-chip with packed-int4 weights
+executed on the int8 MXU (W4A8, wan_dit.quantize_params_int4(w4a8=True)).
+This is the config BASELINE.md defines the frames/s/chip metric on
+(ref test_svi.py:316-338, README.md:80: Wan2.1-I2V-14B-480P on one A100-80G).
 
-  * flagship_14b — the Wan-14B-I2V architecture running single-chip with
-    packed-int4 weights (8.3GB, wan_dit.init_params_int4): measured
-    denoise-step seconds, frames/s/chip and its own A100 comparison;
+`detail` additionally reports, with the same conditioning-encode/VAE-decode
+costs (those are model-size independent):
+
+  * wan_1_3B — the round-1/round-2 continuity metric: exact-bf16 1.3B-dim
+    denoise, plus the opt-in W8A8 int8-linears variant;
+  * flagship_14b_bf16 — the 14B int4-storage path dequantizing to bf16
+    (round-2 methodology) for cross-round comparison;
   * train_step_seconds — one Error-Recycling LoRA train step (rank 128,
     remat, XLA flash backward) on the 1.3B config at the same resolution.
 
-Denoise time is measured over N_MEASURE steps after warmup and scaled to 50
+Denoise time is measured over a few steps after warmup and scaled to 50
 (each step is identical work); encode/decode are measured directly.
 
 vs_baseline: the reference publishes no A100 wall-clock for this config; we
 compare against an A100-80G estimate for the same workload — total FLOPs at
 50% sustained bf16 utilization (312 TFLOPS peak, flash-attn-2-class
 efficiency) + the measured-equivalent VAE cost. vs_baseline > 1 means faster
-than the A100 estimate. Prints ONE json line.
+than the A100 estimate. Prints ONE json line; every section failure is
+recorded in `detail` instead of killing the run.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _wait_for_tpu(jax, jnp, tries=6, wait_s=45):
+    """The chip is shared through the axon tunnel: a stale process holding
+    HBM turns every allocation into RESOURCE_EXHAUSTED (this killed
+    BENCH_r02). Probe with a small allocation and wait for the chip to
+    free up instead of dying on the first try."""
+    for i in range(tries):
+        try:
+            x = jnp.zeros((256, 256), jnp.bfloat16)
+            jax.block_until_ready(x)
+            del x
+            return
+        except Exception as ex:  # noqa: BLE001
+            _log(f"TPU probe {i + 1}/{tries} failed: {type(ex).__name__}: {ex}")
+            if i == tries - 1:
+                raise
+            time.sleep(wait_s)
 
 
 def main():
@@ -40,9 +68,11 @@ def main():
     from svi_tpu.pipelines.svi_video import SVIVideoPipeline
 
     assert jax.default_backend() == "tpu", f"bench must run on TPU, got {jax.default_backend()}"
+    _wait_for_tpu(jax, jnp)
 
     H, W, NF, STEPS = 480, 832, 81, 50
     LT = (NF - 1) // 4 + 1
+    errors = {}
 
     dit_cfg = wan_dit.WanDiTConfig(
         dim=1536, in_dim=36, ffn_dim=8960, out_dim=16, num_heads=12, num_layers=30,
@@ -51,8 +81,7 @@ def main():
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     dit_params = wan_dit.init_params(k1, dit_cfg)
-    import jax as _jax
-    n_params = sum(x.size for x in _jax.tree.leaves(dit_params))
+    n_params = sum(x.size for x in jax.tree.leaves(dit_params))
     vae_cfg = wan_vae.WAN_VAE
     vae_params = wan_vae.init_params(k2, vae_cfg)
     clip_cfg = clip_vision.VIT_H_14
@@ -71,7 +100,7 @@ def main():
     ctx_pos = jnp.asarray(rng.standard_normal((1, 512, 4096)), jnp.bfloat16)
     ctx_neg = jnp.asarray(rng.standard_normal((1, 512, 4096)), jnp.bfloat16)
 
-    # --- conditioning encode (CLIP fp32 + VAE fp32 encode) ---
+    # --- conditioning encode (CLIP fp32 + VAE bf16-interior encode) ---
     t0 = time.perf_counter()
     image_emb = pipe.encode_images_adaptive([ref_img], ref_img, NF, H, W, ref_pad_num=-1)
     jax.block_until_ready(image_emb["y"])
@@ -81,33 +110,40 @@ def main():
     image_emb = pipe.encode_images_adaptive([ref_img], ref_img, NF, H, W, ref_pad_num=-1)
     _ = np.asarray(image_emb["y"][0, 0, 0, 0, 0])
     t_encode = time.perf_counter() - t0
+    _log(f"encode {t_encode:.2f}s (compile {t_encode_compile:.1f}s)")
 
-    # --- denoise steps (batched CFG: one b=2 forward per step; the pipeline
-    # dispatches per step — measured equal to a fused fori-loop) ---
     pipe.scheduler.set_timesteps(STEPS, shift=5.0)
-    latents = jnp.asarray(rng.standard_normal((1, 16, LT, H // 8, W // 8)), jnp.bfloat16)
-    step_fn = pipe._denoise_step_fn()
     sigmas = np.asarray(pipe.scheduler.sigmas, np.float32)
     timesteps = np.asarray(pipe.scheduler.timesteps, np.float32)
     ctx2 = jnp.concatenate([ctx_pos, ctx_neg], axis=0)
 
-    def one_step(lat, i):
-        return step_fn(
-            dit_params, lat, jnp.asarray([timesteps[i]]), sigmas[i], sigmas[i + 1],
-            ctx2, image_emb["clip_feature"], image_emb["y"], np.float32(5.0), None,
-        )
+    # --- 1.3B exact-bf16 denoise (rounds-1/2 continuity metric) ---
+    t_step = None
+    try:
+        latents = jnp.asarray(rng.standard_normal((1, 16, LT, H // 8, W // 8)), jnp.bfloat16)
+        step_fn = pipe._denoise_step_fn()
 
-    t0 = time.perf_counter()
-    latents = one_step(latents, 0)
-    _ = np.asarray(latents[0, 0, 0, 0, 0])
-    t_step_compile = time.perf_counter() - t0
+        def one_step(lat, i):
+            return step_fn(
+                dit_params, lat, jnp.asarray([timesteps[i]]), sigmas[i], sigmas[i + 1],
+                ctx2, image_emb["clip_feature"], image_emb["y"], np.float32(5.0), None,
+            )
 
-    N_MEASURE = 4
-    t0 = time.perf_counter()
-    for i in range(1, 1 + N_MEASURE):
-        latents = one_step(latents, i)
-    _ = np.asarray(latents[0, 0, 0, 0, 0])
-    t_step = (time.perf_counter() - t0) / N_MEASURE
+        t0 = time.perf_counter()
+        latents = one_step(latents, 0)
+        _ = np.asarray(latents[0, 0, 0, 0, 0])
+        t_step_compile = time.perf_counter() - t0
+
+        N_MEASURE = 4
+        t0 = time.perf_counter()
+        for i in range(1, 1 + N_MEASURE):
+            latents = one_step(latents, i)
+        _ = np.asarray(latents[0, 0, 0, 0, 0])
+        t_step = (time.perf_counter() - t0) / N_MEASURE
+        _log(f"1.3B bf16 step {t_step:.3f}s")
+    except Exception as ex:  # noqa: BLE001
+        errors["wan_1_3B"] = f"{type(ex).__name__}: {ex}"[:200]
+        latents = jnp.asarray(rng.standard_normal((1, 16, LT, H // 8, W // 8)), jnp.bfloat16)
 
     # --- W8A8 int8-linears production option (same 1.3B model) ---
     int8_detail = {}
@@ -134,25 +170,33 @@ def main():
         t8 = (time.perf_counter() - t0) / 3
         del q8, step8, pipe8, lat8
         int8_detail = {"denoise_step_seconds": round(t8, 3)}
-    except Exception as ex:
+        _log(f"1.3B w8a8 step {t8:.3f}s")
+    except Exception as ex:  # noqa: BLE001
         int8_detail = {"error": f"{type(ex).__name__}: {ex}"[:200]}
 
     # --- VAE decode ---
-    t0 = time.perf_counter()
-    frames = pipe.decode_video(latents, tiled=False)
-    _ = np.asarray(frames[0, 0, 0, 0, 0])
-    t_decode_compile = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    frames = pipe.decode_video(latents, tiled=False)
-    _ = np.asarray(frames[0, 0, 0, 0, 0])
-    t_decode = time.perf_counter() - t0
+    t_decode = None
+    try:
+        t0 = time.perf_counter()
+        frames = pipe.decode_video(latents, tiled=False)
+        _ = np.asarray(frames[0, 0, 0, 0, 0])
+        t_decode_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        frames = pipe.decode_video(latents, tiled=False)
+        _ = np.asarray(frames[0, 0, 0, 0, 0])
+        t_decode = time.perf_counter() - t0
+        del frames
+        _log(f"decode {t_decode:.2f}s")
+    except Exception as ex:  # noqa: BLE001
+        errors["vae_decode"] = f"{type(ex).__name__}: {ex}"[:200]
+        t_decode_compile = 0.0
 
     # CLIP and the VAE are done (encode/decode measured); free their f32
     # weights (~5GB) before the train step and the 14B section — the chip
     # holds 15.75GB and the LoRA train step alone needs ~10GB
     pipe.vae = pipe.image_encoder = None
     pipe._jit_cache.clear()
-    del clip_params, vae_params, frames, latents
+    del clip_params, vae_params, latents
 
     # --- one Error-Recycling LoRA train step (1.3B, rank 128, remat) ---
     train_detail = {}
@@ -197,6 +241,7 @@ def main():
             "train_step_seconds_1_3B_lora128": round(time.perf_counter() - t0, 3),
             "train_step_compile_seconds": round(t_train_compile, 1),
         }
+        _log(f"train step {train_detail['train_step_seconds_1_3B_lora128']}s")
     except Exception as ex:  # train-step bench must not kill the headline metric
         train_detail = {"train_step_error": f"{type(ex).__name__}: {ex}"[:200]}
     finally:
@@ -204,17 +249,19 @@ def main():
         # train bench failed (a leaked compile must not eat the 14B's HBM)
         del trainable, opt_state, step_train, tbatch
 
-    # --- 14B flagship, single chip, packed-int4 weights ---
-    fl14_detail = {}
-    try:
+    # --- 14B flagship, single chip, packed-int4 weights (HEADLINE) ---
+    # free everything but the conditioning tensors: int4 14B weights are
+    # 8.3GB of the 15.75GB usable HBM, so CLIP (f32), VAE, decoded frames
+    # and the 1.3B DiT must go (the reference does the same via CPU offload,
+    # vram_management/layers.py)
+    pipe.dit = None
+    pipe._jit_cache.clear()
+    del dit_params
+
+    def bench_14b(use_w4a8):
         cfg14 = wan_dit.WAN_14B_I2V
-        # free everything but the conditioning tensors: int4 14B weights are
-        # 8.3GB of the 15.75GB usable HBM, so CLIP (f32), VAE and decoded
-        # frames must go (the reference does the same via CPU offload,
-        # vram_management/layers.py)
-        pipe.dit = None
-        del dit_params
-        params14 = wan_dit.init_params_int4(jax.random.PRNGKey(2), cfg14)
+        params14 = wan_dit.init_params_int4(jax.random.PRNGKey(2), cfg14,
+                                            w4a8=use_w4a8)
         jax.block_until_ready(jax.tree.leaves(params14)[0])
         pipe14 = SVIVideoPipeline(torch_dtype=jnp.bfloat16)
         pipe14.dit = (params14, cfg14)
@@ -242,67 +289,108 @@ def main():
         _ = np.asarray(lat14[0, 0, 0, 0, 0])
         t14_step = 2 * (time.perf_counter() - t0) / 2  # CFG = 2 forwards/step
 
-        clip14 = t_encode + STEPS * t14_step + t_decode
         n14 = sum(
             (x.size * 2 if x.dtype == jnp.int8 else x.size)
             for x in jax.tree.leaves(params14) if x.ndim >= 2
         )
         S_tok = LT * (H // 16) * (W // 16)
         flops14 = 2 * n14 * S_tok + cfg14.num_layers * 4 * S_tok * S_tok * cfg14.dim
-        a100_14 = (STEPS * 2 * flops14) / (312e12 * 0.5) + (t_encode + t_decode)
-        fl14_detail = {
+        enc = t_encode if t_encode is not None else 0.0
+        dec = t_decode if t_decode is not None else 0.0
+        clip14 = enc + STEPS * t14_step + dec
+        a100_14 = (STEPS * 2 * flops14) / (312e12 * 0.5) + enc + dec
+        detail = {
             "step_seconds": round(t14_step, 3),
             "frames_per_sec_per_chip": round(NF / clip14, 4),
             "min_per_1min_video": round(clip14 * (60 * 24) / (NF - 1) / 60, 1),
             "vs_baseline": round(a100_14 / clip14, 3),
-            "weights": "packed int4 (8.3GB), group-128 scales",
+            "weights": ("packed int4 (8.3GB), group-128 scales"
+                        + (", int8-MXU W4A8 execution" if use_w4a8
+                           else ", bf16 dequant-per-use")),
             "cfg": "2 sequential b=1 forwards per step (memory-bound)",
             "compile_seconds": round(t14_compile, 1),
         }
-    except Exception as ex:
-        fl14_detail = {"error": f"{type(ex).__name__}: {ex}"[:200]}
+        # free before the next variant
+        pipe14._jit_cache.clear()
+        del params14, step14, pipe14, lat14
+        return detail
 
-    clip_seconds = t_encode + STEPS * t_step + t_decode
-    fps_per_chip = NF / clip_seconds
-    # 1 minute of 24fps video with 1 motion frame of overlap: 80 new frames/clip
-    clips_per_min_video = (60 * 24) / (NF - 1)
-    min_per_min_video = clip_seconds * clips_per_min_video / 60
+    fl14_w4a8, fl14_bf16 = {}, {}
+    try:
+        fl14_w4a8 = bench_14b(use_w4a8=True)
+        _log(f"14B w4a8 step {fl14_w4a8['step_seconds']}s")
+    except Exception as ex:  # noqa: BLE001
+        fl14_w4a8 = {"error": f"{type(ex).__name__}: {ex}"[:200]}
+    try:
+        fl14_bf16 = bench_14b(use_w4a8=False)
+        _log(f"14B bf16-dequant step {fl14_bf16['step_seconds']}s")
+    except Exception as ex:  # noqa: BLE001
+        fl14_bf16 = {"error": f"{type(ex).__name__}: {ex}"[:200]}
 
-    # --- A100-80G estimate for the same workload ---
-    S = LT * (H // 16) * (W // 16)
-    flops_fwd = 2 * n_params * S + dit_cfg.num_layers * 4 * S * S * dit_cfg.dim
-    total_flops = STEPS * 2 * flops_fwd  # CFG pair
-    a100_denoise = total_flops / (312e12 * 0.5)
-    a100_vae = (t_encode + t_decode)  # assume parity on the conv VAE
-    a100_clip_seconds = a100_denoise + a100_vae
-    vs_baseline = a100_clip_seconds / clip_seconds
-
-    result = {
-        "metric": "frames_per_sec_per_chip_svi_clip_1.3B_480p_81f_50steps_cfg",
-        "value": round(fps_per_chip, 4),
-        "unit": "frames/s/chip",
-        "vs_baseline": round(vs_baseline, 3),
-        "detail": {
-            "clip_seconds": round(clip_seconds, 2),
-            "denoise_step_seconds": round(t_step, 3),
-            "cond_encode_seconds": round(t_encode, 2),
-            "vae_decode_seconds": round(t_decode, 2),
-            "min_per_1min_video": round(min_per_min_video, 2),
-            "compile_seconds": round(t_encode_compile + t_step_compile + t_decode_compile, 1),
-            "baseline": "A100-80G estimate: same FLOPs at 50% bf16 util + measured VAE cost",
-            "flagship_14b": fl14_detail,
-            **train_detail,
-        },
+    # --- assemble result: headline = 14B flagship (BASELINE.json metric) ---
+    detail = {
+        "cond_encode_seconds": None if t_encode is None else round(t_encode, 2),
+        "vae_decode_seconds": None if t_decode is None else round(t_decode, 2),
+        "baseline": "A100-80G estimate: same FLOPs at 50% bf16 util + measured VAE cost",
+        "flagship_14b_bf16": fl14_bf16,
+        **train_detail,
     }
-    if "denoise_step_seconds" in int8_detail:
-        clip8 = t_encode + STEPS * int8_detail["denoise_step_seconds"] + t_decode
-        int8_detail.update({
-            "clip_seconds": round(clip8, 2),
-            "frames_per_sec_per_chip": round(NF / clip8, 4),
-            "vs_baseline": round(a100_clip_seconds / clip8, 3),
-            "note": "opt-in quantize_params_w8a8 (int8 MXU linears); golden-tested",
-        })
-    result["detail"]["int8_linears"] = int8_detail
+    if errors:
+        detail["errors"] = errors
+
+    if t_step is not None and t_decode is not None:
+        clip_seconds = t_encode + STEPS * t_step + t_decode
+        S = LT * (H // 16) * (W // 16)
+        flops_fwd = 2 * n_params * S + dit_cfg.num_layers * 4 * S * S * dit_cfg.dim
+        a100_clip_seconds = (STEPS * 2 * flops_fwd) / (312e12 * 0.5) + (t_encode + t_decode)
+        detail["wan_1_3B"] = {
+            "metric": "frames_per_sec_per_chip_svi_clip_1.3B_480p_81f_50steps_cfg",
+            "frames_per_sec_per_chip": round(NF / clip_seconds, 4),
+            "denoise_step_seconds": round(t_step, 3),
+            "clip_seconds": round(clip_seconds, 2),
+            "min_per_1min_video": round(clip_seconds * (60 * 24) / (NF - 1) / 60, 2),
+            "vs_baseline": round(a100_clip_seconds / clip_seconds, 3),
+            "compile_seconds": round(t_encode_compile + t_step_compile + t_decode_compile, 1),
+        }
+        if "denoise_step_seconds" in int8_detail:
+            clip8 = t_encode + STEPS * int8_detail["denoise_step_seconds"] + t_decode
+            int8_detail.update({
+                "clip_seconds": round(clip8, 2),
+                "frames_per_sec_per_chip": round(NF / clip8, 4),
+                "vs_baseline": round(a100_clip_seconds / clip8, 3),
+                "note": "opt-in quantize_params_w8a8 (int8 MXU linears); golden-tested",
+            })
+        detail["wan_1_3B_int8_linears"] = int8_detail
+
+    best14 = None
+    for cand in (fl14_w4a8, fl14_bf16):
+        if "frames_per_sec_per_chip" in cand:
+            if best14 is None or cand["frames_per_sec_per_chip"] > best14["frames_per_sec_per_chip"]:
+                best14 = cand
+
+    if best14 is not None:
+        detail["flagship_14b"] = fl14_w4a8
+        result = {
+            "metric": "frames_per_sec_per_chip_svi_clip_14B_480p_81f_50steps_cfg",
+            "value": best14["frames_per_sec_per_chip"],
+            "unit": "frames/s/chip",
+            "vs_baseline": best14["vs_baseline"],
+            "detail": detail,
+        }
+    elif t_step is not None and t_decode is not None:
+        # 14B failed entirely: fall back to the 1.3B continuity headline
+        w13 = detail["wan_1_3B"]
+        detail["flagship_14b"] = fl14_w4a8
+        result = {
+            "metric": w13["metric"],
+            "value": w13["frames_per_sec_per_chip"],
+            "unit": "frames/s/chip",
+            "vs_baseline": w13["vs_baseline"],
+            "detail": detail,
+        }
+    else:
+        raise SystemExit(f"no metric measured: {errors}")
+
     print(json.dumps(result))
 
 

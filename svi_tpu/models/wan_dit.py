@@ -205,6 +205,37 @@ def _dense(p: Params, x: jax.Array) -> jax.Array:
         w8 = jnp.stack([lo, hi], axis=-2).reshape(wq.shape[0] * 2, wq.shape[1])
         scale = p["scale_q4"]  # (in//G, out)
         g = w8.shape[0] // scale.shape[0]
+        if "r_q4" in p:
+            # W4A8: requantize the int4 values to per-output-channel int8 on
+            # the fly (w8i = round(v · scale_g/s8_c), precomputed ratio r_q4 =
+            # scale/smax·127/7 so |v·r| ≤ 127) and run the matmul on the int8
+            # MXU against dynamically per-token-quantized activations —
+            # ~1.45x the bf16 MXU rate at SVI shapes while keeping the int4
+            # HBM footprint that fits the 14B flagship on one v5e chip.
+            # Group-scale variation within a channel folds into the int8
+            # mantissa (int8 has 127/7 ≈ 18x the levels of int4, so groups
+            # within 18x of the channel max keep full int4 resolution).
+            r = p["r_q4"]  # (in//G, out) f32: scale/smax * 127/7
+            w8i = (
+                jnp.clip(
+                    jnp.round(
+                        w8.reshape(r.shape[0], g, -1).astype(jnp.float32)
+                        * r[:, None, :]
+                    ),
+                    -127, 127,
+                ).astype(jnp.int8).reshape(w8.shape)
+            )
+            xf = x.astype(jnp.float32)
+            xs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0 + 1e-12
+            xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+            y = jax.lax.dot_general(
+                xq, w8i, (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = (y.astype(jnp.float32) * xs * p["s8_q4"]).astype(x.dtype)
+            if "b" in p:
+                y = y + p["b"].astype(x.dtype)
+            return y
         w = (
             w8.reshape(scale.shape[0], g, -1).astype(x.dtype)
             * scale[:, None, :].astype(x.dtype)
@@ -862,13 +893,28 @@ def _quantize_leaf_int4(w: np.ndarray, group: int = INT4_GROUP):
     return packed, scale.astype(np.float32)
 
 
+def _w4a8_leaves(scale: np.ndarray):
+    """Per-output-channel int8 execution scales for W4A8 from the int4 group
+    scales. scale: (..., in//G, out). Returns (r, s8): r = scale/smax·127/7
+    (so the in-kernel requantized |v·r| ≤ 127), s8 = smax·7/127 (the
+    per-channel int8 dequantization scale)."""
+    smax = np.maximum(scale.max(axis=-2, keepdims=True), 1e-12)  # (...,1,out)
+    r = (scale / smax) * (127.0 / 7.0)
+    s8 = (smax[..., 0, :] * (7.0 / 127.0))[..., None, :]  # (...,1,out) broadcast vs tokens
+    return r.astype(np.float32), s8.astype(np.float32)
+
+
 def quantize_params_int4(params: Params, min_size: int = 1 << 16,
-                         group: int = INT4_GROUP) -> Params:
+                         group: int = INT4_GROUP, w4a8: bool = False) -> Params:
     """Quantize large linear weights to packed int4 with group-wise scales.
     Small tensors (norms, biases, modulations) stay as-is. ~1/4 of bf16 DiT
     weight memory: the single-chip path for the Wan-14B flagship (the
     reference's analog is fp8 weight storage + layer offload,
-    test_svi.py:337 / vram_management). Apply after any LoRA fusion."""
+    test_svi.py:337 / vram_management). Apply after any LoRA fusion.
+
+    w4a8=True additionally stores the per-channel int8 execution scales so
+    _dense runs the matmul on the int8 MXU (int4 HBM footprint, ~1.45x the
+    bf16 matmul rate) instead of dequantizing to bf16."""
 
     def quant_leaf_dict(d):
         if not isinstance(d, dict):
@@ -879,16 +925,19 @@ def quantize_params_int4(params: Params, min_size: int = 1 << 16,
                     and v.shape[-2] % group == 0):
                 if v.ndim == 2:
                     packed, scale = _quantize_leaf_int4(np.asarray(v, np.float32), group)
-                    out["w_q4"] = jnp.asarray(packed)
-                    out["scale_q4"] = jnp.asarray(scale)
                 else:
                     # stacked per-block weights (L, in, out): quantize per layer
                     packs, scales = zip(*(
                         _quantize_leaf_int4(np.asarray(v[i], np.float32), group)
                         for i in range(v.shape[0])
                     ))
-                    out["w_q4"] = jnp.asarray(np.stack(packs))
-                    out["scale_q4"] = jnp.asarray(np.stack(scales))
+                    packed, scale = np.stack(packs), np.stack(scales)
+                out["w_q4"] = jnp.asarray(packed)
+                out["scale_q4"] = jnp.asarray(scale)
+                if w4a8:
+                    r, s8 = _w4a8_leaves(scale)
+                    out["r_q4"] = jnp.asarray(r)
+                    out["s8_q4"] = jnp.asarray(s8)
             elif isinstance(v, dict):
                 out[k] = quant_leaf_dict(v)
             else:
@@ -899,7 +948,8 @@ def quantize_params_int4(params: Params, min_size: int = 1 << 16,
 
 
 def init_params_int4(key, cfg: WanDiTConfig, min_size: int = 1 << 16,
-                     group: int = INT4_GROUP, weight_scale: float = 0.02) -> Params:
+                     group: int = INT4_GROUP, weight_scale: float = 0.02,
+                     w4a8: bool = False) -> Params:
     """Random int4-packed params with the exact pytree structure of
     quantize_params_int4(init_params(key, cfg)) — but without ever
     materializing the float weights (14B f32 fits neither chip HBM nor a
@@ -943,6 +993,12 @@ def init_params_int4(key, cfg: WanDiTConfig, min_size: int = 1 << 16,
                 out["w_q4"] = jax.jit(_fill)()
                 scale_shape = v.shape[:-2] + (cin // group, v.shape[-1])
                 out["scale_q4"] = jnp.full(scale_shape, weight_scale / 7.0, jnp.float32)
+                if w4a8:
+                    # constant group scales -> r = 127/7 everywhere,
+                    # s8 = weight_scale/127 (see _w4a8_leaves)
+                    out["r_q4"] = jnp.full(scale_shape, 127.0 / 7.0, jnp.float32)
+                    s8_shape = v.shape[:-2] + (1, v.shape[-1])
+                    out["s8_q4"] = jnp.full(s8_shape, weight_scale / 127.0, jnp.float32)
             elif k == "b":
                 out[k] = jnp.zeros(v.shape, v.dtype)
             elif k == "modulation":

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import cog
+from ..prompters.cog_prompter import CogPrompter
 from ..schedulers.ddim import EnhancedDDIMScheduler
 from .base import check_resize_height_width, generate_noise, tensor_to_frames
 
@@ -29,6 +30,7 @@ class CogVideoPipeline:
                           jax.tree.map(lambda a: jnp.asarray(a, dtype), p))
         self.dit_params = cast(dit_params)
         self.t5 = t5
+        self.prompter = CogPrompter(t5)
         self.vae_encoder_params = cast(vae_encoder_params)
         self.vae_decoder_params = cast(vae_decoder_params)
         self.dtype = dtype
@@ -49,14 +51,12 @@ class CogVideoPipeline:
     def _dit_impl(params, latents, timestep, emb, cos, sin):
         return cog.cog_dit_forward(params, latents, timestep, emb, (cos, sin))
 
-    def encode_prompt(self, prompt, max_length=226):
-        from ..models import t5 as t5_mod
-
-        t5_params, t5_cfg, tok = self.t5
-        ids = tok(prompt, return_tensors="np", padding="max_length",
-                  max_length=max_length, truncation=True).input_ids
-        return t5_mod.forward(t5_params, t5_cfg,
-                              jnp.asarray(ids)).astype(self.dtype)
+    def encode_prompt(self, prompt, max_length=226, positive=True):
+        if self.prompter.t5 is None:
+            self.prompter.fetch_models(self.t5)
+        return self.prompter.encode_prompt(prompt, positive=positive,
+                                           max_length=max_length,
+                                           dtype=self.dtype)
 
     def __call__(self, prompt, negative_prompt="", input_video=None,
                  cfg_scale=7.0, denoising_strength=1.0, num_frames=49,

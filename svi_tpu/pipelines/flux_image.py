@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models import flux, sd3
+from ..models import flux
+from ..prompters.flux_prompter import FluxPrompter
 from ..schedulers.flow_match import FlowMatchScheduler
 from .base import (check_resize_height_width, control_noise_via_local_prompts,
                    extend_prompt, generate_noise, preprocess_image)
@@ -76,32 +77,6 @@ class FluxTeaCache:
 
     def update(self, pre_tokens):
         return np.asarray(pre_tokens, np.float32) + self.previous_residual
-
-
-class FluxPrompter:
-    """Ref flux_prompter.py:8-76."""
-
-    def __init__(self, tokenizer=None, t5_tokenizer=None):
-        self.tokenizer = tokenizer
-        self.t5_tokenizer = t5_tokenizer
-
-    def encode_prompt(self, te1_params, t5, prompt, t5_sequence_length=512):
-        if self.tokenizer is None:
-            from transformers import CLIPTokenizerFast
-
-            self.tokenizer = CLIPTokenizerFast.from_pretrained(
-                "openai/clip-vit-large-patch14")
-        ids = jnp.asarray(self.tokenizer(
-            prompt, return_tensors="np", padding="max_length", max_length=77,
-            truncation=True).input_ids)
-        pooled, _ = sd3.sd3_text_encoder_1_forward(te1_params, ids)
-        from ..models import t5 as t5_mod
-
-        t5_params, t5_cfg, t5_tok = t5
-        tid = t5_tok(prompt, return_tensors="np", padding="max_length",
-                     max_length=t5_sequence_length, truncation=True).input_ids
-        emb = t5_mod.forward(t5_params, t5_cfg, jnp.asarray(tid))
-        return emb.reshape(1, -1, emb.shape[-1]), pooled
 
 
 class FluxImagePipeline:

@@ -21,37 +21,15 @@ import numpy as np
 from ..models import hunyuan_dit as hy
 from ..models.sd import sd_vae_decoder_params_from_torch  # noqa: F401 (re-export convenience)
 from ..models import sdxl
+from ..prompters.hunyuan_dit_prompter import HunyuanDiTPrompter
 from ..schedulers.ddim import EnhancedDDIMScheduler
 from .base import (check_resize_height_width, control_noise_via_local_prompts,
                    extend_prompt, generate_noise, preprocess_image)
 
 
-class HunyuanTextEncoderWrapper:
-    """Lazy transformers wrapper for the two reference text encoders
-    (hunyuan_dit_text_encoder.py:6-163). Produces (text_emb, mask,
-    text_emb_t5, mask_t5) numpy arrays."""
-
-    def __init__(self, bert_model=None, bert_tokenizer=None, t5_model=None,
-                 t5_tokenizer=None):
-        self.bert_model = bert_model
-        self.bert_tokenizer = bert_tokenizer
-        self.t5_model = t5_model
-        self.t5_tokenizer = t5_tokenizer
-
-    def __call__(self, prompt, clip_skip=1, clip_skip_2=1):
-        import torch
-
-        with torch.no_grad():
-            ti = self.bert_tokenizer(prompt, padding="max_length", max_length=77,
-                                     truncation=True, return_tensors="pt")
-            emb = self.bert_model(ti.input_ids, ti.attention_mask,
-                                  clip_skip=clip_skip)
-            t5i = self.t5_tokenizer(prompt, padding="max_length", max_length=256,
-                                    truncation=True, return_tensors="pt")
-            emb_t5 = self.t5_model(t5i.input_ids, t5i.attention_mask,
-                                   clip_skip=clip_skip_2)
-        return (emb.numpy(), ti.attention_mask.numpy(),
-                emb_t5.numpy(), t5i.attention_mask.numpy())
+# HunyuanDiTPrompter moved to prompters/hunyuan_dit_prompter.py; the old
+# wrapper name remains the pipeline-facing alias.
+HunyuanTextEncoderWrapper = HunyuanDiTPrompter
 
 
 class HunyuanDiTImagePipeline:

@@ -20,58 +20,9 @@ from ..models import sdxl
 from ..schedulers.ddim import EnhancedDDIMScheduler
 from .base import (check_resize_height_width, control_noise_via_local_prompts,
                    extend_prompt, generate_noise, preprocess_image)
-from .sd_image import tokenize_long_prompt
-
-
-class SDXLPrompter:
-    """Ref sdxl_prompter.py:9-62 (no textual inversion / refiners yet)."""
-
-    def __init__(self, tokenizer=None, tokenizer_2=None):
-        self.tokenizer = tokenizer
-        self.tokenizer_2 = tokenizer_2
-
-    def _ensure_tokenizers(self):
-        if self.tokenizer is None:
-            from transformers import CLIPTokenizerFast
-
-            self.tokenizer = CLIPTokenizerFast.from_pretrained(
-                "openai/clip-vit-large-patch14")
-        if self.tokenizer_2 is None:
-            self.tokenizer_2 = self.tokenizer
-
-    def encode_prompt(self, te_params, te2_params, prompt, clip_skip=1,
-                      clip_skip_2=2):
-        self._ensure_tokenizers()
-        ids = tokenize_long_prompt(self.tokenizer, prompt)
-        emb1 = sdxl.sdxl_text_encoder_forward(te_params, jnp.asarray(ids),
-                                              clip_skip=clip_skip)
-        ids2 = tokenize_long_prompt(self.tokenizer_2, prompt)
-        pooled, emb2 = sdxl.sdxl_text_encoder_2_forward(
-            te2_params, jnp.asarray(ids2), clip_skip=clip_skip_2)
-        n = min(emb1.shape[0], emb2.shape[0])
-        emb = jnp.concatenate([emb1[:n], emb2[:n]], axis=-1)
-        # long prompts: pooled embedding from the first 77-token chunk only
-        return pooled[0:1], emb.reshape(1, n * emb.shape[1], -1)
-
-
-class KolorsPrompter:
-    """Ref kolors_prompter.py:304-354: ChatGLM encoding to 256 left-padded
-    tokens; returns (pooled (1,4096), prompt_emb (1,256,4096)).
-    `tokenizer` is a kolors SPTokenizer-like object (models/kolors.py)."""
-
-    def __init__(self, tokenizer=None):
-        self.tokenizer = tokenizer
-
-    def encode_prompt(self, chatglm_params, _unused, prompt, clip_skip=1,
-                      clip_skip_2=2, max_length=256):
-        from ..models import kolors
-
-        ids, mask, pos = kolors.kolors_tokenize(prompt, self.tokenizer,
-                                                max_length)
-        pooled, emb = kolors.kolors_encode_prompt(
-            chatglm_params, jnp.asarray(ids), jnp.asarray(mask),
-            jnp.asarray(pos), clip_skip_2=clip_skip_2)
-        return pooled, emb
+from ..prompters.kolors_prompter import KolorsPrompter
+from ..prompters.sdxl_prompter import SDXLPrompter
+from .sd_image import tokenize_long_prompt  # noqa: F401 (compat re-export)
 
 
 class SDXLImagePipeline:

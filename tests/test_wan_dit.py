@@ -195,3 +195,50 @@ def test_w8a8_quantized_forward_close():
     out = np.asarray(wan_dit.forward(qparams, cfg, x, t, ctx))
     rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-8)
     assert rel < 0.08, f"w8a8 relative error {rel}"
+
+
+def test_w4a8_quantized_forward_close():
+    """W4A8 (packed int4 weights requantized per-channel to int8 in-kernel x
+    dynamic int8 activations — the 14B single-chip int8-MXU path): forward
+    stays close both to the float forward and to the int4-bf16-dequant
+    forward (the extra int8 rounding must be a second-order effect)."""
+    tm, cfg, params = build_pair(False, seed=11)
+    q4 = wan_dit.quantize_params_int4(params, min_size=1024, group=16)
+    q48 = wan_dit.quantize_params_int4(params, min_size=1024, group=16, w4a8=True)
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((1, 16, 2, 4, 6)), jnp.float32)
+    t = jnp.asarray([321.0])
+    ctx = jnp.asarray(rng.standard_normal((1, 5, TINY["text_dim"])), jnp.float32)
+    ref = np.asarray(wan_dit.forward(params, cfg, x, t, ctx))
+    out4 = np.asarray(wan_dit.forward(q4, cfg, x, t, ctx))
+    out48 = np.asarray(wan_dit.forward(q48, cfg, x, t, ctx))
+    rel = np.abs(out48 - ref).mean() / (np.abs(ref).mean() + 1e-8)
+    assert rel < 0.13, f"w4a8 relative error vs float {rel}"
+    rel4 = np.abs(out48 - out4).mean() / (np.abs(out4).mean() + 1e-8)
+    assert rel4 < 0.06, f"w4a8 drift vs int4-bf16 dequant {rel4}"
+
+
+def test_init_params_int4_w4a8_structure():
+    """init_params_int4(w4a8=True) mirrors quantize_params_int4(..., w4a8=True)
+    structurally and the W4A8 forward runs finite."""
+    import jax
+
+    cfg = wan_dit.WanDiTConfig(
+        dim=64, in_dim=16, ffn_dim=128, out_dim=16, text_dim=48, freq_dim=32,
+        num_heads=2, num_layers=2, dtype=jnp.float32,
+    )
+    ref_q = wan_dit.quantize_params_int4(
+        wan_dit.init_params(jax.random.PRNGKey(0), cfg), min_size=1024,
+        group=16, w4a8=True,
+    )
+    rand_q = wan_dit.init_params_int4(jax.random.PRNGKey(0), cfg, min_size=1024,
+                                      group=16, w4a8=True)
+    ref_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_leaves_with_path(ref_q)}
+    rand_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_leaves_with_path(rand_q)}
+    assert ref_paths == rand_paths
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((1, 16, 2, 4, 6)), jnp.float32)
+    out = wan_dit.forward(rand_q, cfg, x, jnp.asarray([100.0]),
+                          jnp.asarray(rng.standard_normal((1, 5, 48)), jnp.float32))
+    assert np.isfinite(np.asarray(out)).all()
