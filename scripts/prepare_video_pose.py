@@ -5,7 +5,9 @@ run_align_pose.py — per video: detect people (YOLOX) + whole-body keypoints
 (DWPose) per frame, render OpenPose-style skeleton frames, write paired
 video.mp4 + dwpose.mp4 sample dirs (DanceVideoDataset's preferred format).
 
-Requires onnxruntime + the YOLOX/DWPose ONNX weights (offline dependency).
+Requires the YOLOX/DWPose ONNX weight files; inference runs through
+onnxruntime when installed, else through the repo's native ONNX-to-JAX
+executor (svi_tpu.utils.onnx_jax) on the JAX backend.
 """
 
 import argparse

@@ -4,10 +4,13 @@ Behavioral reference: dwpose/wholebody.py (+onnxdet/onnxpose) — YOLOX-L person
 detection + DWPose 133-keypoint estimation via onnxruntime, followed by the
 standard COCO→OpenPose joint conversion (neck = mean(shoulders), index remap).
 
-Inference requires onnxruntime (not in this image) and the ONNX weights; the
-session is therefore gated. The pure-numpy post-processing (the part SVI's
-training/inference semantics depend on) works standalone and is unit-tested.
-This runs OFFLINE per SURVEY §2.6 — it is not in the generation hot path.
+Inference runs through onnxruntime when available, and otherwise through the
+repo's native ONNX-to-JAX executor (svi_tpu.utils.onnx_jax) — the ONNX graphs
+execute as XLA ops on whatever backend JAX has (TPU here), so the extraction
+path no longer depends on onnxruntime at all; only the .onnx weight files are
+required. The pure-numpy post-processing (the part SVI's training/inference
+semantics depend on) works standalone and is unit-tested. This runs OFFLINE
+per SURVEY §2.6 — it is not in the generation hot path.
 """
 
 from __future__ import annotations
@@ -37,17 +40,24 @@ class Wholebody:
 
     def __init__(self, det_onnx="./weights/UniAnimate-DiT/yolox_l.onnx",
                  pose_onnx="./weights/UniAnimate-DiT/dw-ll_ucoco_384.onnx",
-                 providers=("CPUExecutionProvider",)):
-        try:
-            import onnxruntime as ort
-        except ImportError as e:  # pragma: no cover - env without ORT
-            raise ImportError(
-                "DWPose extraction needs onnxruntime (offline preprocessing "
-                "dependency; not part of the TPU generation path). Install it "
-                "or supply precomputed pose videos/pkls."
-            ) from e
-        self.session_det = ort.InferenceSession(det_onnx, providers=list(providers))
-        self.session_pose = ort.InferenceSession(pose_onnx, providers=list(providers))
+                 providers=("CPUExecutionProvider",), engine="auto"):
+        """engine: 'ort' (onnxruntime), 'jax' (svi_tpu.utils.onnx_jax), or
+        'auto' (ort if installed, else the native JAX executor)."""
+        ort = None
+        if engine in ("auto", "ort"):
+            try:
+                import onnxruntime as ort  # noqa: F811
+            except ImportError:
+                if engine == "ort":
+                    raise
+        if ort is not None:
+            mk = lambda p: ort.InferenceSession(p, providers=list(providers))
+        else:
+            from ..utils import onnx_jax
+
+            mk = onnx_jax.InferenceSession
+        self.session_det = mk(det_onnx)
+        self.session_pose = mk(pose_onnx)
 
     def __call__(self, frame_rgb: np.ndarray):
         from . import onnx_infer
