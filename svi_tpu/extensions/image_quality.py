@@ -9,11 +9,15 @@ logit-scale softmax), CLIPScore / HPScore_v2 (clip.py / hps.py: open_clip
 ViT-H normalized feature dot), MPScore (mps.py:45-97: condition-masked
 cross-attention head), and the model registry (__init__.py:12-148).
 
-The scoring heads are first-party math and run in JAX; the large feature
-towers (CLIP/BLIP/open_clip checkpoints) are injected as host callables —
-`load_preference_model` wires them from transformers when local checkpoint
-paths are given (zero-egress: nothing downloads here; pass the paths the
-reference's modelscope snapshot would have produced).
+The scoring heads are first-party math and run in JAX. The feature towers
+(CLIP / open_clip / BLIP) also run natively by default —
+`load_preference_model(engine="jax")` loads the checkpoint state dicts
+straight into extensions/quality_towers.py forwards (golden-tested vs
+transformers / the vendored open_clip+BLIP); only tokenizer files go through
+transformers, and the open_clip BPE runs on utils/clip_bpe.py.
+engine="torch" keeps transformers models as the towers. Zero-egress: nothing
+downloads here; pass the paths the reference's modelscope snapshot
+(__init__.py:21-123) would have produced.
 """
 
 from __future__ import annotations
@@ -197,10 +201,53 @@ class MPScore:
         return [self._calculate_score(im, prompt) for im in images]
 
 
-def load_preference_model(model_name, device="cpu", path=None):
-    """ref __init__.py:124-148 API. `path` is the local checkpoint dict for
-    the model (the reference downloads it via modelscope; this environment
-    has no egress, so paths must exist locally)."""
+def _load_state_dict_any(p):
+    """State dict from a .safetensors file, a torch .pt/.bin file, or an HF
+    model directory (model.safetensors / pytorch_model.bin)."""
+    import os
+
+    if os.path.isdir(p):
+        for name in ("model.safetensors", "open_clip_pytorch_model.bin",
+                     "pytorch_model.bin", "pytorch_model.pt"):
+            cand = os.path.join(p, name)
+            if os.path.exists(cand):
+                p = cand
+                break
+        else:
+            raise FileNotFoundError(f"no model weights found in {p}")
+    if p.endswith(".safetensors"):
+        from safetensors import safe_open
+
+        with safe_open(p, framework="np") as f:
+            return {k: f.get_tensor(k) for k in f.keys()}
+    import torch
+
+    sd = torch.load(p, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.float().numpy() for k, v in sd.items()}
+
+
+# transformer width -> head count for the CLIP-family towers these metrics
+# ship (ViT-B/L/H vision + their text towers); head_dim is not uniform
+# across them (ViT-H vision uses 80), so a divide-by-64 heuristic is wrong
+_WIDTH_TO_HEADS = {512: 8, 640: 10, 768: 12, 896: 14, 1024: 16, 1280: 16}
+
+
+def _heads(sd, key):
+    width = int(np.asarray(sd[key]).shape[-1])
+    return _WIDTH_TO_HEADS.get(width, max(1, width // 64))
+
+
+def load_preference_model(model_name, device="cpu", path=None, engine="jax"):
+    """ref __init__.py:124-148 API. `path` is the reference snapshot's
+    load_path dict resolved to local files (modelscope download layout,
+    __init__.py:21-123; this environment has no egress, so paths must exist
+    locally).
+
+    engine="jax" (default) runs the feature towers natively
+    (extensions/quality_towers.py) — only tokenizer/config files go through
+    transformers; engine="torch" uses transformers models as the towers."""
     if model_name not in PREFERENCE_MODEL_IDS:
         raise ValueError(f"unknown preference model {model_name!r}; "
                          f"expected one of {PREFERENCE_MODEL_IDS}")
@@ -209,43 +256,100 @@ def load_preference_model(model_name, device="cpu", path=None):
             f"no local checkpoint paths for {model_name!r}: this build has "
             "no network egress; download the reference's modelscope "
             "snapshot and pass its load_path dict")
+    from . import quality_towers as qt
+
     if model_name == "Aesthetic":
-        from safetensors import safe_open
-        from transformers import AutoModel, AutoProcessor
+        mlp_params = score_mlp_params_from_torch(
+            _load_state_dict_any(path["aesthetic_predictor"]))
+        if engine == "torch":
+            from transformers import AutoModel, AutoProcessor
 
-        with safe_open(path["aesthetic_predictor"], framework="np") as f:
-            sd = {k: f.get_tensor(k) for k in f.keys()}
-        mlp_params = score_mlp_params_from_torch(sd)
-        clip = AutoModel.from_pretrained(path["clip-large"]).eval()
-        proc = AutoProcessor.from_pretrained(path["clip-large"])
+            clip = AutoModel.from_pretrained(path["clip-large"]).eval()
+            proc = AutoProcessor.from_pretrained(path["clip-large"])
 
-        def image_features_fn(image):
-            import torch
+            def image_features_fn(image):
+                import torch
 
-            with torch.no_grad():
-                px = proc(images=image, return_tensors="pt").pixel_values
-                return clip.get_image_features(px).numpy()
+                with torch.no_grad():
+                    px = proc(images=image, return_tensors="pt").pixel_values
+                    return clip.get_image_features(px).numpy()
 
+        else:
+            sd = _load_state_dict_any(path["clip-large"])
+            vis, txt, scale = qt.clip_params_from_hf(sd)
+            hv = _heads(sd, "vision_model.embeddings.class_embedding")
+            ht = _WIDTH_TO_HEADS.get(int(txt["tok"].shape[1]),
+                                     max(1, txt["tok"].shape[1] // 64))
+            image_features_fn, _, _ = qt.make_clip_feature_fns(
+                vis, txt, hv, ht, None, quick_gelu=True, logit_scale=scale)
         return AestheticScore(mlp_params, image_features_fn)
+
     if model_name == "PickScore":
-        from transformers import AutoModel, AutoProcessor
+        from transformers import AutoTokenizer
 
-        clip = AutoModel.from_pretrained(path["pickscore"]).eval()
-        proc = AutoProcessor.from_pretrained(path["clip-h"])
+        tok = AutoTokenizer.from_pretrained(path["clip"])
+        if engine == "torch":
+            from transformers import AutoModel, AutoProcessor
 
-        def features_fn(image, prompt):
-            import torch
+            clip = AutoModel.from_pretrained(path["pickscore"]).eval()
+            proc = AutoProcessor.from_pretrained(path["clip"])
 
-            with torch.no_grad():
-                px = proc(images=image, return_tensors="pt").pixel_values
-                tx = proc(text=prompt, padding=True, truncation=True,
-                          max_length=77, return_tensors="pt")
-                return (clip.get_image_features(pixel_values=px).numpy(),
-                        clip.get_text_features(**tx).numpy(),
-                        float(clip.logit_scale))
+            def features_fn(image, prompt):
+                import torch
 
+                with torch.no_grad():
+                    px = proc(images=image, return_tensors="pt").pixel_values
+                    tx = proc(text=prompt, padding=True, truncation=True,
+                              max_length=77, return_tensors="pt")
+                    return (clip.get_image_features(pixel_values=px).numpy(),
+                            clip.get_text_features(**tx).numpy(),
+                            float(clip.logit_scale))
+
+        else:
+            sd = _load_state_dict_any(path["pickscore"])
+            vis, txt, scale = qt.clip_params_from_hf(sd)
+            hv = _heads(sd, "vision_model.embeddings.class_embedding")
+            ht = _heads(sd, "text_model.embeddings.token_embedding.weight")
+            # PickScore is CLIP-H: gelu (not quick_gelu) activations
+            _, _, features_fn = qt.make_clip_feature_fns(
+                vis, txt, hv, ht, tok, quick_gelu=False, logit_scale=scale)
         return PickScore(features_fn)
+
+    if model_name in ("CLIP", "HPSv2", "HPSv2.1"):
+        from ..utils.clip_bpe import SimpleTokenizer
+
+        key = {"CLIP": "open_clip", "HPSv2": "hpsv2", "HPSv2.1": "hpsv2.1"}[model_name]
+        sd = _load_state_dict_any(path[key])
+        vis, txt, scale = qt.clip_params_from_open_clip(sd)
+        tok = SimpleTokenizer(path["open_clip_bpe"])
+        hv = _heads(sd, "visual.class_embedding")
+        ht = _heads(sd, "positional_embedding")
+
+        def encode_fn(image, prompt, _vis=vis, _txt=txt, _hv=hv, _ht=ht):
+            px = jnp.asarray(qt.clip_preprocess(image, 224))
+            img_f, _ = qt.clip_vision_forward(_vis, px, _hv)
+            ids = tok([prompt])
+            txt_f = qt.clip_text_forward(_txt, ids, _ht)
+            return (np.asarray(_normalize(img_f)),
+                    np.asarray(_normalize(txt_f)))
+
+        return CLIPScore(encode_fn)
+
+    if model_name == "ImageReward":
+        from transformers import AutoTokenizer
+
+        sd = _load_state_dict_any(path["imagereward"])
+        mlp_params = score_mlp_params_from_torch(
+            {k[4:]: v for k, v in sd.items() if k.startswith("mlp.")})
+        vit, bert = qt.blip_params_from_torch(sd)
+        tok = AutoTokenizer.from_pretrained(path["bert_model_path"])
+        hv = _heads(sd, next(k for k in sd if k.endswith("cls_token")))
+        ht = _WIDTH_TO_HEADS.get(int(bert["word"].shape[1]),
+                                 max(1, bert["word"].shape[1] // 64))
+        text_features_fn = qt.make_blip_feature_fn(vit, bert, hv, ht, tok)
+        return ImageRewardScore(mlp_params, text_features_fn)
+
     raise NotImplementedError(
-        f"{model_name!r} needs its vendored checkpoint stack (BLIP / "
-        "open_clip / MPS trainer); construct the scorer class directly "
-        "with encoder callables over your local checkpoints")
+        f"{model_name!r} needs its vendored checkpoint stack (the MPS "
+        "trainer cross-model); construct MPScore directly with encoder "
+        "callables over your local checkpoints")

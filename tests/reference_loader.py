@@ -213,6 +213,7 @@ def _ensure_stubs():
         tvt.ColorJitter = _T
         tvt.RandomApply = _T
         tvt.RandomAdjustSharpness = _T
+        tvt.RandomResizedCrop = _T  # open_clip/transform.py train-side import
         # torchvision.transforms.functional: to_tensor (used by the VACE
         # image processor) implemented for golden tests; resize delegates to
         # torch antialias interpolate (what real torchvision does for
@@ -242,10 +243,42 @@ def _ensure_stubs():
         tv.transforms = tvt
         tv.io = _mk_module("torchvision.io")
         tv.__version__ = "0.0.0"
+        # torchvision.ops.misc.FrozenBatchNorm2d: imported (unused at eval
+        # scale) by the vendored open_clip/utils.py
+        tvo = _mk_module("torchvision.ops")
+        tvom = _mk_module("torchvision.ops.misc")
+        import torch as _torch
+
+        class _FrozenBatchNorm2d(_torch.nn.Module):
+            def __init__(self, num_features, eps=1e-5):
+                super().__init__()
+                self.register_buffer("weight", _torch.ones(num_features))
+                self.register_buffer("bias", _torch.zeros(num_features))
+                self.register_buffer("running_mean", _torch.zeros(num_features))
+                self.register_buffer("running_var", _torch.ones(num_features))
+                self.eps = eps
+
+            def forward(self, x):
+                scale = self.weight * (self.running_var + self.eps).rsqrt()
+                bias = self.bias - self.running_mean * scale
+                return x * scale.reshape(1, -1, 1, 1) + bias.reshape(1, -1, 1, 1)
+
+        tvom.FrozenBatchNorm2d = _FrozenBatchNorm2d
+        tvo.misc = tvom
+        tv.ops = tvo
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tvt
         sys.modules["torchvision.transforms.functional"] = tvf
         sys.modules["torchvision.io"] = tv.io
+        sys.modules["torchvision.ops"] = tvo
+        sys.modules["torchvision.ops.misc"] = tvom
+
+    if "ftfy" not in sys.modules:
+        # open_clip/tokenizer.py (and some prompters) import ftfy only for
+        # whitespace/mojibake cleanup of real prompt text
+        ftfy = _mk_module("ftfy")
+        ftfy.fix_text = lambda s: s
+        sys.modules["ftfy"] = ftfy
 
     if "xformers" not in sys.modules:
         xformers = _mk_module("xformers")
