@@ -261,34 +261,43 @@ class FlowUniPCMultistepScheduler(_FlowMultistepBase):
 
 
 class FlowDPMSolverMultistepScheduler(_FlowMultistepBase):
-    """DPM-Solver++ multistep for flow matching (ref fm_solvers.py,
-    deterministic dpmsolver++ algorithm; midpoint/heun, orders 1-3)."""
+    """DPM-Solver++ multistep for flow matching (ref fm_solvers.py):
+    deterministic `dpmsolver++` and ancestral `sde-dpmsolver++` (noise-
+    injected updates, ref :475-479/:570-582); midpoint/heun, orders 1-3
+    (the sde variant is defined for orders 1-2; order-3 falls back to the
+    deterministic update exactly as the reference's step() does)."""
 
     def __init__(self, num_train_timesteps=1000, solver_order=2, shift=1.0,
                  use_dynamic_shifting=False, algorithm_type="dpmsolver++",
                  solver_type="midpoint", lower_order_final=True,
                  euler_at_final=False, final_sigmas_type="zero"):
-        if algorithm_type != "dpmsolver++":
+        if algorithm_type not in ("dpmsolver++", "sde-dpmsolver++"):
+            # plain dpmsolver/sde-dpmsolver are deprecated in the reference
+            # itself (fm_solvers.py:150-155)
             raise NotImplementedError(
-                "deterministic dpmsolver++ only (the sde variants are unused "
-                "by every Wan/SVI pipeline)"
-            )
+                "algorithm_type must be dpmsolver++ or sde-dpmsolver++")
         assert solver_type in ("midpoint", "heun")
         super().__init__(num_train_timesteps, solver_order, shift,
                          use_dynamic_shifting, final_sigmas_type)
+        self.algorithm_type = algorithm_type
         self.solver_type = solver_type
         self.lower_order_final = lower_order_final
         self.euler_at_final = euler_at_final
 
-    def dpm_solver_first_order_update(self, model_output, sample):
-        """Ref fm_solvers.py:417-486 (dpmsolver++)."""
+    def dpm_solver_first_order_update(self, model_output, sample, noise=None):
+        """Ref fm_solvers.py:417-486."""
         sigma_t, sigma_s = self.sigmas[self.step_index + 1], self.sigmas[self.step_index]
         alpha_t, sigma_t_ = self._alpha_sigma(sigma_t)
         h = self._lambda(sigma_t) - self._lambda(sigma_s)
+        if self.algorithm_type == "sde-dpmsolver++":
+            assert noise is not None
+            return ((sigma_t_ / sigma_s * np.exp(-h)) * sample
+                    + (alpha_t * -np.expm1(-2.0 * h)) * model_output
+                    + sigma_t_ * np.sqrt(-np.expm1(-2.0 * h)) * noise)
         return (sigma_t_ / sigma_s) * sample - (alpha_t * np.expm1(-h)) * model_output
 
-    def multistep_dpm_solver_second_order_update(self, sample):
-        """Ref :488-596 (dpmsolver++, midpoint/heun)."""
+    def multistep_dpm_solver_second_order_update(self, sample, noise=None):
+        """Ref :488-596 (midpoint/heun)."""
         sigma_t = self.sigmas[self.step_index + 1]
         sigma_s0 = self.sigmas[self.step_index]
         sigma_s1 = self.sigmas[self.step_index - 1]
@@ -298,6 +307,15 @@ class FlowDPMSolverMultistepScheduler(_FlowMultistepBase):
         h, h_0 = l_t - l_s0, l_s0 - l_s1
         r0 = h_0 / h
         D0, D1 = m0, (1.0 / r0) * (m0 - m1)
+        if self.algorithm_type == "sde-dpmsolver++":
+            assert noise is not None
+            base = ((sigma_t_ / sigma_s0 * np.exp(-h)) * sample
+                    + (alpha_t * -np.expm1(-2.0 * h)) * D0)
+            if self.solver_type == "midpoint":
+                base = base + 0.5 * (alpha_t * -np.expm1(-2.0 * h)) * D1
+            else:
+                base = base + (alpha_t * (-np.expm1(-2.0 * h) / (-2.0 * h) + 1.0)) * D1
+            return base + sigma_t_ * np.sqrt(-np.expm1(-2.0 * h)) * noise
         if self.solver_type == "midpoint":
             return ((sigma_t_ / sigma_s0) * sample
                     - (alpha_t * np.expm1(-h)) * D0
@@ -329,7 +347,9 @@ class FlowDPMSolverMultistepScheduler(_FlowMultistepBase):
 
     def step(self, model_output, timestep, sample, return_dict=False,
              generator=None, variance_noise=None):
-        """Ref :708-800 (deterministic path)."""
+        """Ref :708-800. For sde-dpmsolver++, per-step noise comes from
+        `variance_noise` or a numpy Generator/seed in `generator`
+        (ref :762-769 uses randn_tensor)."""
         if self.num_inference_steps is None:
             raise ValueError("run set_timesteps first")
         if self.step_index is None:
@@ -346,10 +366,21 @@ class FlowDPMSolverMultistepScheduler(_FlowMultistepBase):
         model_output = self.convert_model_output(model_output, sample)
         self.model_outputs = self.model_outputs[1:] + [model_output]
 
+        noise = None
+        if self.algorithm_type == "sde-dpmsolver++":
+            if variance_noise is not None:
+                noise = np.asarray(variance_noise, np.float32)
+            else:
+                gen = (generator if isinstance(generator, np.random.Generator)
+                       else np.random.default_rng(generator))
+                noise = gen.standard_normal(np.shape(sample)).astype(np.float32)
+
         if self.solver_order == 1 or self.lower_order_nums < 1 or lower_order_final:
-            prev_sample = self.dpm_solver_first_order_update(model_output, sample)
+            prev_sample = self.dpm_solver_first_order_update(model_output, sample,
+                                                             noise=noise)
         elif self.solver_order == 2 or self.lower_order_nums < 2 or lower_order_second:
-            prev_sample = self.multistep_dpm_solver_second_order_update(sample)
+            prev_sample = self.multistep_dpm_solver_second_order_update(sample,
+                                                                        noise=noise)
         else:
             prev_sample = self.multistep_dpm_solver_third_order_update(sample)
 

@@ -106,3 +106,36 @@ def test_add_noise_and_sampling_sigmas():
     np.testing.assert_allclose(
         get_sampling_sigmas(12, 4.0), ref_dpm.get_sampling_sigmas(12, 4.0), atol=1e-12
     )
+
+
+@pytest.mark.parametrize("order,solver_type,steps", [
+    (1, "midpoint", 8), (2, "midpoint", 10), (2, "heun", 10),
+])
+def test_dpm_sde_trajectory_parity(order, solver_type, steps):
+    """sde-dpmsolver++ (ref fm_solvers.py:475-479, :570-582): identical
+    per-step variance_noise injected on both sides."""
+    ours_s = FlowDPMSolverMultistepScheduler(
+        solver_order=order, solver_type=solver_type,
+        algorithm_type="sde-dpmsolver++")
+    ref_s = ref_dpm.FlowDPMSolverMultistepScheduler(
+        solver_order=order, solver_type=solver_type,
+        algorithm_type="sde-dpmsolver++")
+    shape = (1, 4, 2, 3, 3)
+    ours_s.set_timesteps(steps, shift=5.0)
+    ref_s.set_timesteps(steps, shift=5.0)
+    rng = np.random.default_rng(0)
+    sample_o = rng.standard_normal(shape).astype(np.float32)
+    sample_r = torch.tensor(sample_o.copy())
+    nrng = np.random.default_rng(1)
+    with torch.no_grad():
+        for i, t in enumerate(ours_s.timesteps):
+            noise = nrng.standard_normal(shape).astype(np.float32)
+            out = _fake_model(sample_o, i)
+            sample_o = np.asarray(
+                ours_s.step(out, t, sample_o, variance_noise=noise), np.float32)
+            out_r = torch.tensor(_fake_model(sample_r.numpy(), i))
+            sample_r = ref_s.step(out_r, ref_s.timesteps[i], sample_r,
+                                  variance_noise=torch.tensor(noise)).prev_sample
+            np.testing.assert_allclose(sample_o, sample_r.numpy(),
+                                       rtol=2e-4, atol=2e-5,
+                                       err_msg=f"step {i}")
