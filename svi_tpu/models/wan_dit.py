@@ -1012,6 +1012,30 @@ def init_params_int4(key, cfg: WanDiTConfig, min_size: int = 1 << 16,
     return build(shapes)
 
 
+def quantized_params_from_torch_state_dict(
+        sd: dict, cfg: WanDiTConfig, min_size: int = 1 << 16,
+        group: int = INT4_GROUP, w4a8: bool = False) -> Params:
+    """Quantize-on-load for the single-chip 14B path: convert the reference
+    state dict and pack int4 WITHOUT ever materializing the bf16 parameter
+    tree on the accelerator (the 14B bf16 tree is ~28GB, the chip holds
+    15.75GB). Staging happens on the host CPU backend; only the packed
+    tensors (8.3GB for 14B) are shipped to the default device, one top-level
+    subtree at a time so peak device memory never exceeds the final
+    footprint. Structurally identical to
+    quantize_params_int4(params_from_torch_state_dict(sd, cfg), ...)."""
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        staged = params_from_torch_state_dict(sd, cfg)
+    out: Params = {}
+    for key in list(staged):
+        sub = staged.pop(key)
+        qsub = quantize_params_int4({key: sub}, min_size=min_size,
+                                    group=group, w4a8=w4a8)[key]
+        del sub
+        out[key] = jax.device_put(qsub)
+    return out
+
+
 def quantize_params_w8a8(params: Params, min_size: int = 1 << 16) -> Params:
     """Quantize large linear weights to int8 for W8A8 execution (dynamic
     per-token int8 activations at run time — see _dense). ~1.45x faster

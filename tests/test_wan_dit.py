@@ -242,3 +242,30 @@ def test_init_params_int4_w4a8_structure():
     out = wan_dit.forward(rand_q, cfg, x, jnp.asarray([100.0]),
                           jnp.asarray(rng.standard_normal((1, 5, 48)), jnp.float32))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_quantized_load_matches_post_quantization():
+    """quantized_params_from_torch_state_dict (the 14B quantize-on-load path
+    that never stages bf16 on the accelerator) produces bit-identical leaves
+    to quantizing after a full load, for both int4 and W4A8."""
+    import jax
+
+    torch.manual_seed(13)
+    kw = dict(TINY, in_dim=16)
+    tm = ref_dit.WanModel(has_image_input=False, **kw).eval()
+    cfg = wan_dit.WanDiTConfig(has_image_input=False, dtype=jnp.float32,
+                               **{k: v for k, v in kw.items() if k != "eps"})
+    sd = tm.state_dict()
+    for w4a8 in (False, True):
+        ref_q = wan_dit.quantize_params_int4(
+            wan_dit.params_from_torch_state_dict(sd, cfg),
+            min_size=1024, group=16, w4a8=w4a8)
+        got_q = wan_dit.quantized_params_from_torch_state_dict(
+            sd, cfg, min_size=1024, group=16, w4a8=w4a8)
+        ref_leaves = jax.tree_util.tree_leaves_with_path(ref_q)
+        got_leaves = dict(jax.tree_util.tree_leaves_with_path(got_q))
+        assert len(ref_leaves) == len(got_leaves)
+        for path, leaf in ref_leaves:
+            np.testing.assert_array_equal(np.asarray(leaf),
+                                          np.asarray(got_leaves[path]),
+                                          err_msg=str(path))
