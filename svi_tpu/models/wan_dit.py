@@ -199,10 +199,12 @@ def _dense(p: Params, x: jax.Array) -> jax.Array:
         # output channel). Quarter of bf16 weight memory — what fits the 14B
         # flagship (8.2GB) on one 16GB v5e chip. Dequantized per use; under
         # the block scan only the current block's weights materialize in bf16.
-        wq = p["w_q4"]  # (in//2, out) int8
+        wq = p["w_q4"]  # (in//2, out) int8, half-split packing
         lo = jnp.right_shift(jnp.left_shift(wq, 4), 4)  # sign-extended low nibble
         hi = jnp.right_shift(wq, 4)  # arithmetic shift: sign-extended high nibble
-        w8 = jnp.stack([lo, hi], axis=-2).reshape(wq.shape[0] * 2, wq.shape[1])
+        # half-split layout: rows [0, in/2) are the low nibbles, [in/2, in)
+        # the high nibbles — a pure concat, no interleave relayout
+        w8 = jnp.concatenate([lo, hi], axis=0)
         scale = p["scale_q4"]  # (in//G, out)
         g = w8.shape[0] // scale.shape[0]
         if "r_q4" in p:
@@ -216,6 +218,28 @@ def _dense(p: Params, x: jax.Array) -> jax.Array:
             # mantissa (int8 has 127/7 ≈ 18x the levels of int4, so groups
             # within 18x of the channel max keep full int4 resolution).
             r = p["r_q4"]  # (in//G, out) f32: scale/smax * 127/7
+            if INT4_GROUP == (2 * wq.shape[-2]) // r.shape[-2] and \
+                    jax.default_backend() == "tpu":
+                from ..ops import quant_matmul as _qmm
+
+                if _qmm.supports_unpack_requant(wq, r):
+                    # Pallas unpack+requant at copy roofline (the XLA
+                    # stack/concat unpack relayouts cost ~as much as the
+                    # matmul itself — see ops/quant_matmul.py), then fall
+                    # through to the XLA int8-MXU W8A8 math below, which
+                    # measures faster than a fully-fused Pallas matmul
+                    w8i = _qmm.unpack_requant_int4(wq, r)
+                    xf = x.astype(jnp.float32)
+                    xs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0 + 1e-12
+                    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+                    y = jax.lax.dot_general(
+                        xq, w8i, (((x.ndim - 1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    y = (y.astype(jnp.float32) * xs * p["s8_q4"]).astype(x.dtype)
+                    if "b" in p:
+                        y = y + p["b"].astype(x.dtype)
+                    return y
             w8i = (
                 jnp.clip(
                     jnp.round(
@@ -878,8 +902,11 @@ INT4_GROUP = 128  # inputs per int4 quantization group
 def _quantize_leaf_int4(w: np.ndarray, group: int = INT4_GROUP):
     """(in, out) float -> packed (in//2, out) int8 + (in//group, out) f32
     scales. Symmetric per-group: q = clip(round(w/scale), -8, 7),
-    scale = groupwise max|w| / 7. Packing: byte i holds rows (2i, 2i+1) as
-    (low, high) nibbles — matches the unpack in _dense."""
+    scale = groupwise max|w| / 7. HALF-SPLIT packing: byte i holds rows
+    (i, i + in//2) as (low, high) nibbles — the unpack is then a pure
+    concatenate (no row interleave: the stack+reshape interleave relayout
+    measured ~9ms per 26M-param layer on v5e, ~45x the copy roofline), and
+    the Pallas W4A8 kernel gets both halves' rows from one packed tile."""
     cin, cout = w.shape
     assert cin % 2 == 0 and cin % group == 0, (cin, group)
     wf = np.asarray(w, np.float32).reshape(cin // group, group, cout)
@@ -887,8 +914,8 @@ def _quantize_leaf_int4(w: np.ndarray, group: int = INT4_GROUP):
     scale = np.maximum(scale, 1e-12)
     q = np.clip(np.round(wf / scale[:, None, :]), -8, 7).astype(np.int8)
     q = q.reshape(cin, cout)
-    lo = q[0::2].astype(np.uint8) & 0xF
-    hi = (q[1::2].astype(np.uint8) & 0xF) << 4
+    lo = q[: cin // 2].astype(np.uint8) & 0xF
+    hi = (q[cin // 2:].astype(np.uint8) & 0xF) << 4
     packed = (lo | hi).astype(np.int8)
     return packed, scale.astype(np.float32)
 

@@ -123,11 +123,11 @@ def test_int4_pack_roundtrip():
     w = rng.standard_normal((64, 48)).astype(np.float32) * 0.04
     packed, scale = wan_dit._quantize_leaf_int4(w, group=16)
     assert packed.shape == (32, 48) and scale.shape == (4, 48)
-    # unpack exactly as _dense does
+    # unpack exactly as _dense does (half-split: concat lo rows then hi rows)
     wq = jnp.asarray(packed)
     lo = jnp.right_shift(jnp.left_shift(wq, 4), 4)
     hi = jnp.right_shift(wq, 4)
-    w8 = np.asarray(jnp.stack([lo, hi], axis=-2).reshape(64, 48))
+    w8 = np.asarray(jnp.concatenate([lo, hi], axis=0))
     expect_q = np.clip(np.round(w.reshape(4, 16, 48) / scale[:, None, :]), -8, 7)
     np.testing.assert_array_equal(w8.reshape(4, 16, 48), expect_q)
     deq = w8.reshape(4, 16, 48) * scale[:, None, :]
