@@ -285,9 +285,6 @@ def load_preference_model(model_name, device="cpu", path=None, engine="jax"):
         return AestheticScore(mlp_params, image_features_fn)
 
     if model_name == "PickScore":
-        from transformers import AutoTokenizer
-
-        tok = AutoTokenizer.from_pretrained(path["clip"])
         if engine == "torch":
             from transformers import AutoModel, AutoProcessor
 
@@ -306,6 +303,9 @@ def load_preference_model(model_name, device="cpu", path=None, engine="jax"):
                             float(clip.logit_scale))
 
         else:
+            from transformers import AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(path["clip"])
             sd = _load_state_dict_any(path["pickscore"])
             vis, txt, scale = qt.clip_params_from_hf(sd)
             hv = _heads(sd, "vision_model.embeddings.class_embedding")

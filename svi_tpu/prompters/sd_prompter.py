@@ -24,7 +24,10 @@ class SDPrompter(BasePrompter):
         self.tokenizer = tokenizer  # a transformers CLIPTokenizer(-Fast)
         self.textual_inversion_dict = {}
         self.keyword_dict = {}
-        self._extended = None  # (id(base params), extended params) cache
+        # (base token_embedding array, extended params) cache; keyed by the
+        # array object itself (checked with `is`) — id() alone could alias a
+        # new params tree allocated at a freed address after GC
+        self._extended = None
 
     def _ensure_tokenizer(self):
         if self.tokenizer is None:
@@ -50,12 +53,10 @@ class SDPrompter(BasePrompter):
     def _params_with_inversions(self, text_encoder_params):
         if not self.textual_inversion_dict:
             return text_encoder_params
-        key = id(text_encoder_params)
-        if self._extended is None or self._extended[0] != key:
-            table = ti.extend_token_embedding(
-                text_encoder_params["token_embedding"],
-                self.textual_inversion_dict)
-            self._extended = (key,
+        base = text_encoder_params["token_embedding"]
+        if self._extended is None or self._extended[0] is not base:
+            table = ti.extend_token_embedding(base, self.textual_inversion_dict)
+            self._extended = (base,
                               {**text_encoder_params, "token_embedding": table})
         return self._extended[1]
 

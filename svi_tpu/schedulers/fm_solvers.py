@@ -14,10 +14,11 @@ counts and matches how the reference keeps sigmas on CPU (fm_solvers_unipc.py
 caller uses (numpy/jax) — only elementwise ops and an order-k linear solve
 touch them.
 
-Deterministic variants only (UniPC bh1/bh2 predictor-corrector up to order 3;
-DPM-Solver++ midpoint/heun orders 1-3). The reference's sde-dpmsolver
-variants inject generator noise per step and are not used by any Wan/SVI
-pipeline; they raise NotImplementedError here.
+UniPC bh1/bh2 predictor-corrector up to order 3; DPM-Solver++ midpoint/heun
+orders 1-3; and the ancestral sde-dpmsolver++ variant (orders 1-2, per-step
+noise via `variance_noise` or a numpy Generator/seed). The reference's plain
+dpmsolver/sde-dpmsolver types are deprecated in the reference itself
+(fm_solvers.py:150-155) and raise NotImplementedError here.
 """
 
 from __future__ import annotations
@@ -62,6 +63,10 @@ class _FlowMultistepBase:
         self.last_sample = None
         self._step_index = None
         self._begin_index = None
+        # int-seed RNG cache for sde-dpmsolver++ (see step()); cleared per
+        # trajectory so the same seed reproduces the same trajectory
+        self._gen = None
+        self._gen_seed = object()
 
     @property
     def step_index(self):
@@ -371,9 +376,16 @@ class FlowDPMSolverMultistepScheduler(_FlowMultistepBase):
             if variance_noise is not None:
                 noise = np.asarray(variance_noise, np.float32)
             else:
-                gen = (generator if isinstance(generator, np.random.Generator)
-                       else np.random.default_rng(generator))
-                noise = gen.standard_normal(np.shape(sample)).astype(np.float32)
+                # A Generator advances state across step() calls (like the
+                # reference's torch Generator). An int seed is converted ONCE
+                # and cached — rebuilding default_rng(seed) per step would
+                # inject the identical noise vector at every step.
+                if not isinstance(generator, np.random.Generator):
+                    if self._gen_seed != generator:
+                        self._gen = np.random.default_rng(generator)
+                        self._gen_seed = generator
+                    generator = self._gen
+                noise = generator.standard_normal(np.shape(sample)).astype(np.float32)
 
         if self.solver_order == 1 or self.lower_order_nums < 1 or lower_order_final:
             prev_sample = self.dpm_solver_first_order_update(model_output, sample,

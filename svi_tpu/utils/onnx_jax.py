@@ -148,9 +148,15 @@ def _parse_tensor(buf: memoryview) -> tuple:
 
 
 def _parse_attribute(buf: memoryview) -> tuple:
-    """AttributeProto -> (name, value)."""
+    """AttributeProto -> (name, value).
+
+    Proto3 writers omit zero-valued scalar fields (i=0, f=0.0, s=b""), so a
+    missing payload is disambiguated through the AttributeProto.type field
+    (fno 20): a typed INT attribute with no i field IS the value 0, not an
+    absent attribute."""
     name, value = "", None
     f_val = i_val = s_val = t_val = None
+    a_type = None  # AttributeProto.AttributeType (fno 20)
     floats, ints, strings = [], [], []
     for fno, wt, val in _iter_fields(buf):
         if fno == 1:
@@ -172,6 +178,23 @@ def _parse_attribute(buf: memoryview) -> tuple:
             ints += [_signed(v) for v in _packed_ints(val)]
         elif fno == 9:  # strings
             strings.append(bytes(val))
+        elif fno == 20:  # type
+            a_type = val if isinstance(val, int) else int(val)
+    # 1=FLOAT 2=INT 3=STRING 4=TENSOR 6=FLOATS 7=INTS 8=STRINGS
+    if a_type == 1:
+        return name, f_val if f_val is not None else 0.0
+    if a_type == 2:
+        return name, i_val if i_val is not None else 0
+    if a_type == 3:
+        return name, s_val if s_val is not None else b""
+    if a_type == 4:
+        return name, t_val
+    if a_type == 6:
+        return name, floats
+    if a_type == 7:
+        return name, ints
+    if a_type == 8:
+        return name, strings
     for v in (t_val, s_val, f_val, i_val):
         if v is not None:
             value = v
@@ -297,8 +320,18 @@ class _Executor:
         strides = tuple(a.get("strides", [1] * nsp))
         dilations = tuple(a.get("dilations", [1] * nsp))
         group = int(a.get("group", 1))
-        if a.get("auto_pad", b"NOTSET") in (b"SAME_UPPER", b"SAME_LOWER"):
-            padding = "SAME"
+        auto_pad = a.get("auto_pad", b"NOTSET")
+        if auto_pad in (b"SAME_UPPER", b"SAME_LOWER"):
+            # ONNX SAME_LOWER puts the odd pad element BEFORE the input; lax
+            # "SAME" is SAME_UPPER (extra pad after), so build explicit pads
+            padding = []
+            for i in range(nsp):
+                k_eff = (w.shape[2 + i] - 1) * dilations[i] + 1
+                out = -(-x.shape[2 + i] // strides[i])  # ceil
+                total = max(0, (out - 1) * strides[i] + k_eff - x.shape[2 + i])
+                lo, hi = total // 2, total - total // 2
+                padding.append((hi, lo) if auto_pad == b"SAME_LOWER" else (lo, hi))
+            padding = tuple(padding)
         else:
             padding = _pair_pads(a.get("pads"), nsp)
         dn = ("NCHW", "OIHW", "NCHW") if nsp == 2 else (
@@ -449,7 +482,7 @@ class _Executor:
 
     # pooling ----------------------------------------------------------------
 
-    def _pool(self, node, x, reducer, init, count_include_pad):
+    def _pool(self, node, x, reducer, init):
         import jax
 
         a = node.attrs
@@ -475,19 +508,19 @@ class _Executor:
     def op_MaxPool(self, node, x):
         import jax
 
-        return self._pool(node, x, jax.lax.max, -self.jnp.inf, True)
+        return self._pool(node, x, jax.lax.max, -self.jnp.inf)
 
     def op_AveragePool(self, node, x):
         import jax
 
-        s = self._pool(node, x, jax.lax.add, 0.0, True)
+        s = self._pool(node, x, jax.lax.add, 0.0)
         a = node.attrs
         k = tuple(a["kernel_shape"])
         if a.get("count_include_pad", 0) or not any(
                 p for pr in _pair_pads(a.get("pads"), len(k)) for p in pr):
             return s / float(np.prod(k))
         ones = self.jnp.ones_like(x)
-        cnt = self._pool(node, ones, jax.lax.add, 0.0, True)
+        cnt = self._pool(node, ones, jax.lax.add, 0.0)
         return s / cnt
 
     def op_GlobalAveragePool(self, node, x):
@@ -508,7 +541,8 @@ class _Executor:
             out_shape = tuple(int(v) for v in _np(sizes))
         else:
             sc = _np(scales)
-            out_shape = tuple(int(round(s * f)) for s, f in zip(x.shape, sc))
+            # ONNX spec: output_size = floor(input_size * scale)
+            out_shape = tuple(int(np.floor(s * f)) for s, f in zip(x.shape, sc))
         if mode == "nearest":
             ct = a.get("coordinate_transformation_mode", b"half_pixel")
             ct = ct.decode() if isinstance(ct, bytes) else ct
@@ -562,10 +596,7 @@ class _Executor:
                          dtype=_np(start).dtype)
 
     def op_Cast(self, node, x):
-        to = _ONNX_DTYPES[node.attrs["to"]]
-        if isinstance(x, np.ndarray):
-            return x.astype(to)
-        return x.astype(to)
+        return x.astype(_ONNX_DTYPES[node.attrs["to"]])
 
     def op_Gather(self, node, x, idx):
         axis = node.attrs.get("axis", 0)
@@ -601,10 +632,12 @@ class _Executor:
     def op_Unsqueeze(self, node, x, axes=None):
         if axes is None:
             axes = node.attrs.get("axes")
-        axes = sorted(int(a) for a in _np(axes).ravel())
+        # axes are positions in the OUTPUT rank (spec): resolve negatives
+        # against the final rank first, then insert ascending
+        out_rank = x.ndim + len(_np(axes).ravel())
+        axes = sorted(int(a) % out_rank for a in _np(axes).ravel())
         shape = list(x.shape)
         for a in axes:
-            a = a % (len(shape) + 1)
             shape.insert(a, 1)
         return x.reshape(shape)
 
@@ -620,8 +653,12 @@ class _Executor:
         if split is None:
             split = node.attrs.get("split")
         if split is None:
-            n = node.attrs.get("num_outputs", 2)
-            sizes = [x.shape[axis] // n] * n
+            # with no sizes and no num_outputs attr the split count is the
+            # node's output count (pre-opset-18 behavior); uneven dims give
+            # ceil-sized chunks with a smaller last chunk (opset-18 rule)
+            n = node.attrs.get("num_outputs") or len(node.outputs)
+            chunk = -(-x.shape[axis] // n)
+            sizes = [chunk] * (n - 1) + [x.shape[axis] - chunk * (n - 1)]
         else:
             sizes = [int(s) for s in _np(split).ravel()]
         out, start = [], 0

@@ -139,3 +139,31 @@ def test_dpm_sde_trajectory_parity(order, solver_type, steps):
             np.testing.assert_allclose(sample_o, sample_r.numpy(),
                                        rtol=2e-4, atol=2e-5,
                                        err_msg=f"step {i}")
+
+
+def test_dpm_sde_int_seed_advances_rng():
+    """An int `generator` seed must advance RNG state ACROSS steps (like the
+    reference's torch Generator) — not re-seed per call, which injected the
+    identical noise vector at every step (review r3). The same seed must also
+    reproduce the same trajectory after set_timesteps."""
+    def run(seed):
+        s = FlowDPMSolverMultistepScheduler(
+            solver_order=2, algorithm_type="sde-dpmsolver++")
+        s.set_timesteps(6, shift=5.0)
+        sample = np.ones((1, 4, 2, 2), np.float32)
+        noises = []
+        for i, t in enumerate(s.timesteps):
+            before = sample.copy()
+            sample = np.asarray(
+                s.step(_fake_model(sample, i), t, sample, generator=seed),
+                np.float32)
+            noises.append(sample - before)
+        return sample, noises
+
+    out1, noises = run(7)
+    # per-step deltas must not repeat (re-seeded rng gave identical noise)
+    assert not np.allclose(noises[1], noises[2])
+    out2, _ = run(7)
+    np.testing.assert_array_equal(out1, out2)  # reproducible per trajectory
+    out3, _ = run(8)
+    assert not np.allclose(out1, out3)

@@ -234,3 +234,69 @@ def test_unknown_op_raises_with_name():
     sess = onnx_jax.InferenceSession(data)
     with pytest.raises(NotImplementedError, match="NoSuchOp"):
         sess.run(None, {"x": np.zeros(2, np.float32)})
+
+
+def test_zero_valued_typed_attrs_proto3_omission():
+    """Proto3 writers omit zero scalar fields: AttributeProto{name:'axis',
+    type:INT} with no i field must parse as 0, not None (review r3)."""
+    def ld(fno, payload):
+        return bytes([fno << 3 | 2, len(payload)]) + payload
+
+    # attr 'axis' INT with omitted i=0; Gather(x, idx) along axis 0
+    attr = ld(1, b"axis") + bytes([0xA0, 0x01, 2])  # tag(20,varint)+INT(2)
+    node = (ld(1, b"x") + ld(1, b"idx") + ld(2, b"y") + ld(4, b"Gather")
+            + ld(5, attr))
+    graph = (ld(1, node) + ld(11, ld(1, b"x")) + ld(11, ld(1, b"idx"))
+             + ld(12, ld(1, b"y")))
+    model = ld(7, graph)
+    g = onnx_jax.parse_model(model)
+    assert g.nodes[0].attrs["axis"] == 0
+    sess = onnx_jax.InferenceSession(model)
+    x = np.arange(6, dtype=np.float32).reshape(3, 2)
+    out = sess.run(None, {"x": x, "idx": np.array([2, 0], np.int64)})[0]
+    np.testing.assert_array_equal(out, x[[2, 0]])
+    # FLOAT attr with omitted f=0.0
+    attrf = ld(1, b"alpha") + bytes([0xA0, 0x01, 1])  # tag(20,varint)+FLOAT(1)
+    name, val = onnx_jax._parse_attribute(memoryview(attrf))
+    assert name == "alpha" and val == 0.0
+
+
+def test_unsqueeze_negative_axes_and_split_default_outputs():
+    # Unsqueeze axes=[-2,-1] on (2,3) must give (2,3,1,1) (spec: axes are
+    # positions in the OUTPUT rank)
+    x = np.zeros((2, 3), np.float32)
+    out = run_model([("Unsqueeze", ["x"], ["y"], {"axes": [-2, -1]})],
+                    {}, ["x"], ["y"], {"x": x})[0]
+    assert out.shape == (2, 3, 1, 1)
+    # Split with neither split sizes nor num_outputs: count = node outputs
+    x = np.arange(12, dtype=np.float32).reshape(6, 2)
+    outs = run_model([("Split", ["x"], ["a", "b", "c"], {"axis": 0})],
+                     {}, ["x"], ["a", "b", "c"], {"x": x})
+    assert [o.shape for o in outs] == [(2, 2), (2, 2), (2, 2)]
+    np.testing.assert_array_equal(np.concatenate(outs, axis=0), x)
+
+
+def test_resize_scales_floor_and_same_lower_conv_vs_torch():
+    # Resize downscale: output dim = floor(in*scale) per spec (round() gave
+    # off-by-one shapes, review r3): floor(3*0.6)=1
+    x = np.ones((1, 1, 3, 3), np.float32)
+    out = run_model(
+        [("Resize", ["x", "", "scales"], ["y"], {"mode": b"linear"})],
+        {"scales": np.array([1.0, 1.0, 0.6, 0.6], np.float32)},
+        ["x"], ["y"], {"x": x})[0]
+    assert out.shape == (1, 1, 1, 1)
+    # SAME_LOWER: odd pad element goes BEFORE the input (torch can't express
+    # auto_pad; compare against an explicitly pre-padded VALID conv)
+    rng = np.random.default_rng(0)
+    xx = rng.standard_normal((1, 2, 5, 5)).astype(np.float32)
+    w = rng.standard_normal((3, 2, 2, 2)).astype(np.float32)
+    got = run_model(
+        [("Conv", ["x", "w"], ["y"],
+          {"auto_pad": b"SAME_LOWER", "strides": [2, 2],
+           "kernel_shape": [2, 2]})],
+        {"w": w}, ["x"], ["y"], {"x": xx})[0]
+    # out = ceil(5/2) = 3; total pad = (3-1)*2+2-5 = 1 -> (1,0) for LOWER
+    xpad = np.pad(xx, ((0, 0), (0, 0), (1, 0), (1, 0)))
+    want = torch.nn.functional.conv2d(torch.from_numpy(xpad),
+                                      torch.from_numpy(w), stride=2).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
