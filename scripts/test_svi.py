@@ -66,6 +66,10 @@ def parse_args():
     p.add_argument("--num_persistent_param_in_dit", type=int, default=6 * 10**9)
     p.add_argument("--num_frames", type=int, default=81)
     p.add_argument("--use_teacache", action="store_true", default=False)
+    p.add_argument("--quantize", type=str, default="none",
+                   choices=["none", "int8", "w8a8", "int4", "int4_w4a8"],
+                   help="DiT weight quantization (int4_w4a8 fits+runs the 14B "
+                        "flagship on one 16GB chip on the int8 MXU)")
     p.add_argument("--sequential_cfg", type=str, default=None)
     return p.parse_args()
 
@@ -110,7 +114,11 @@ def main():
             })
 
     # ---- models (ref :316-351) ----
-    mm = ModelManager(torch_dtype=jnp.bfloat16)
+    # train_architecture selects the customtalk DiT block variant at detection
+    # time (ref test_svi.py:316, configs/model_config_talk.py:57-58)
+    mm = ModelManager(torch_dtype=jnp.bfloat16,
+                      train_architecture=args.train_architecture,
+                      quantize_dit=None if args.quantize == "none" else args.quantize)
     dit_root = args.dit_root
     shards = sorted(glob.glob(os.path.join(dit_root, "diffusion_pytorch_model*.safetensors")))
     model_paths = [shards if shards else dit_root]

@@ -40,6 +40,10 @@ def parse_args():
     p.add_argument("--cfg_scale_audio", type=float, default=2.0)
     p.add_argument("--cfg_scale_text", type=float, default=2.0)
     p.add_argument("--train_architecture", type=str, default="lora")
+    p.add_argument("--quantize", type=str, default="none",
+                   choices=["none", "int8", "w8a8", "int4", "int4_w4a8"],
+                   help="DiT weight quantization (int4_w4a8 fits+runs "
+                        "the 14B flagship on one 16GB chip)")
     p.add_argument("--lora_alpha", type=float, default=1.0)
     p.add_argument("--ref_pad_cfg", action="store_true", default=False)
     p.add_argument("--tiled", action="store_true", default=False)
@@ -72,7 +76,9 @@ def main():
     from svi_tpu.utils.image_process import calculate_dimensions
     from svi_tpu.utils.video import save_video
 
-    mm = ModelManager(torch_dtype=jnp.bfloat16)
+    mm = ModelManager(torch_dtype=jnp.bfloat16,
+                  train_architecture=args.train_architecture,
+                  quantize_dit=None if args.quantize == "none" else args.quantize)
     shards = sorted(glob.glob(os.path.join(args.dit_root, "diffusion_pytorch_model*.safetensors")))
     dit_paths = shards if shards else args.dit_root
     if args.multitalk_path:

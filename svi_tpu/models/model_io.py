@@ -289,10 +289,23 @@ class ModelManager:
     converted param pytrees + configs from it by name."""
 
     def __init__(self, torch_dtype=jnp.bfloat16, device=None, model_id_list=None,
-                 downloading_priority=None, file_path_list=None, train_architecture=None):
+                 downloading_priority=None, file_path_list=None, train_architecture=None,
+                 quantize_dit=None):
         self.dtype = torch_dtype
         self.device = device
         self.train_architecture = train_architecture
+        # quantize_dit: one of wan_dit.QUANTIZE_MODES. The DiT is staged on
+        # the host CPU at load time (a real 14B bf16 tree is ~28GB and must
+        # never touch the 15.75GB chip), LoRA fusion happens on the host, and
+        # the tree is quantized + shipped subtree-by-subtree at first
+        # fetch_model("wan_video_dit") — the TPU analog of the reference's
+        # fp8-storage + layer-offload deployment (test_svi.py:337,
+        # vram_management/layers.py).
+        if quantize_dit is not None and quantize_dit not in wan_dit.QUANTIZE_MODES:
+            raise ValueError(
+                f"quantize_dit={quantize_dit!r}; choose from {wan_dit.QUANTIZE_MODES}")
+        self.quantize_dit = quantize_dit
+        self._dit_quantized = False
         self.models: dict[str, tuple[Any, Any]] = {}  # name -> (params, cfg)
         self.model_paths: dict[str, Any] = {}
         self.state_dict_new_module: dict = {}
@@ -325,7 +338,14 @@ class ModelManager:
         if kind == "wan_video_dit":
             cfg = wan_dit.config_from_state_dict(sd)
             cfg = wan_dit.WanDiTConfig(**{**cfg.__dict__, "dtype": dtype})
-            params = wan_dit.params_from_torch_state_dict(sd, cfg)
+            if self.quantize_dit:
+                # stage on host; quantize + ship at first fetch (post-LoRA)
+                cpu = jax.local_devices(backend="cpu")[0]
+                with jax.default_device(cpu):
+                    params = wan_dit.params_from_torch_state_dict(sd, cfg)
+                self._dit_quantized = False
+            else:
+                params = wan_dit.params_from_torch_state_dict(sd, cfg)
         elif kind == "wan_video_text_encoder":
             cfg = t5.config_from_state_dict(sd, dtype=dtype)
             params = t5.params_from_torch_state_dict(sd, cfg)
@@ -370,6 +390,13 @@ class ModelManager:
     def fetch_model(self, model_name, require_model_path=False):
         if model_name not in self.models:
             return None
+        if (model_name == "wan_video_dit" and self.quantize_dit
+                and not self._dit_quantized):
+            params, cfg = self.models[model_name]
+            params = wan_dit.quantize_params_for_inference(
+                params, self.quantize_dit, consume=True)
+            self.models[model_name] = (params, cfg)
+            self._dit_quantized = True
         entry = self.models[model_name]
         if require_model_path:
             return entry, self.model_paths.get(model_name)

@@ -218,37 +218,27 @@ def _dense(p: Params, x: jax.Array) -> jax.Array:
             # mantissa (int8 has 127/7 ≈ 18x the levels of int4, so groups
             # within 18x of the channel max keep full int4 resolution).
             r = p["r_q4"]  # (in//G, out) f32: scale/smax * 127/7
-            if INT4_GROUP == (2 * wq.shape[-2]) // r.shape[-2] and \
-                    jax.default_backend() == "tpu":
-                from ..ops import quant_matmul as _qmm
+            from ..ops import quant_matmul as _qmm
 
-                if _qmm.supports_unpack_requant(wq, r):
-                    # Pallas unpack+requant at copy roofline (the XLA
-                    # stack/concat unpack relayouts cost ~as much as the
-                    # matmul itself — see ops/quant_matmul.py), then fall
-                    # through to the XLA int8-MXU W8A8 math below, which
-                    # measures faster than a fully-fused Pallas matmul
-                    w8i = _qmm.unpack_requant_int4(wq, r)
-                    xf = x.astype(jnp.float32)
-                    xs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0 + 1e-12
-                    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
-                    y = jax.lax.dot_general(
-                        xq, w8i, (((x.ndim - 1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32,
-                    )
-                    y = (y.astype(jnp.float32) * xs * p["s8_q4"]).astype(x.dtype)
-                    if "b" in p:
-                        y = y + p["b"].astype(x.dtype)
-                    return y
-            w8i = (
-                jnp.clip(
-                    jnp.round(
-                        w8.reshape(r.shape[0], g, -1).astype(jnp.float32)
-                        * r[:, None, :]
-                    ),
-                    -127, 127,
-                ).astype(jnp.int8).reshape(w8.shape)
-            )
+            if (INT4_GROUP == (2 * wq.shape[-2]) // r.shape[-2]
+                    and jax.default_backend() == "tpu"
+                    and _qmm.supports_unpack_requant(wq, r)):
+                # Pallas unpack+requant at copy roofline (the XLA
+                # stack/concat unpack relayouts cost ~as much as the matmul
+                # itself — see ops/quant_matmul.py); the int8 matmul below
+                # then fuses well in XLA (measured 337-378 of 394 TOP/s,
+                # faster than a fully-fused Pallas quant-matmul)
+                w8i = _qmm.unpack_requant_int4(wq, r)
+            else:
+                w8i = (
+                    jnp.clip(
+                        jnp.round(
+                            w8.reshape(r.shape[0], g, -1).astype(jnp.float32)
+                            * r[:, None, :]
+                        ),
+                        -127, 127,
+                    ).astype(jnp.int8).reshape(w8.shape)
+                )
             xf = x.astype(jnp.float32)
             xs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0 + 1e-12
             xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
@@ -1053,13 +1043,43 @@ def quantized_params_from_torch_state_dict(
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         staged = params_from_torch_state_dict(sd, cfg)
+    mode = "int4_w4a8" if w4a8 else "int4"
+    return quantize_params_for_inference(staged, mode, min_size=min_size,
+                                         group=group, consume=True)
+
+
+QUANTIZE_MODES = ("int8", "w8a8", "int4", "int4_w4a8")
+
+
+def quantize_params_for_inference(params: Params, mode: str,
+                                  min_size: int = 1 << 16,
+                                  group: int = INT4_GROUP,
+                                  consume: bool = False) -> Params:
+    """Quantize a (possibly host-staged) DiT parameter tree for inference and
+    ship it to the default device, one top-level subtree at a time so peak
+    device memory never exceeds the quantized footprint. `mode` is one of
+    QUANTIZE_MODES (the `--quantize` driver flag / ModelManager(quantize_dit=)
+    values): int8 = storage-only int8 weights (bf16 matmuls), w8a8 = int8-MXU
+    execution, int4/int4_w4a8 = packed-int4 storage (the single-chip 14B
+    path), the latter on the int8 MXU. Apply AFTER any LoRA fusion.
+    `consume=True` pops subtrees from `params` to release the staged tree
+    incrementally."""
+    if mode == "int4":
+        fn = lambda p: quantize_params_int4(p, min_size=min_size, group=group)
+    elif mode == "int4_w4a8":
+        fn = lambda p: quantize_params_int4(p, min_size=min_size, group=group,
+                                            w4a8=True)
+    elif mode == "w8a8":
+        fn = lambda p: quantize_params_w8a8(p, min_size=min_size)
+    elif mode == "int8":
+        fn = lambda p: quantize_params_int8(p, min_size=min_size)
+    else:
+        raise ValueError(f"quantize mode {mode!r}; choose from {QUANTIZE_MODES}")
     out: Params = {}
-    for key in list(staged):
-        sub = staged.pop(key)
-        qsub = quantize_params_int4({key: sub}, min_size=min_size,
-                                    group=group, w4a8=w4a8)[key]
+    for key in list(params):
+        sub = params.pop(key) if consume else params[key]
+        out[key] = jax.device_put(fn({key: sub})[key])
         del sub
-        out[key] = jax.device_put(qsub)
     return out
 
 

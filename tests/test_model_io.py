@@ -135,3 +135,58 @@ def test_model_manager_end_to_end(tmp_path):
     assert loaded_cfg.num_layers == TINY["num_layers"]
     assert mm.lora_log[0][1] == len(model_io.lora_name_map(lora_sd))
     assert mm.fetch_model("wan_video_vae") is None
+
+
+def test_model_manager_quantize_dit_on_fetch(tmp_path):
+    """ModelManager(quantize_dit=...): the DiT stages on host at load, LoRA
+    fuses on host, and the first fetch quantizes + ships — the driver-level
+    path for the single-chip 14B flagship (--quantize int4_w4a8)."""
+    from safetensors.torch import save_file
+
+    big = dict(TINY, dim=256, ffn_dim=512, num_heads=4)  # >= int4 min_size
+    torch.manual_seed(5)
+    tm = ref_dit.WanModel(has_image_input=False, **big).eval()
+    cfg = wan_dit.WanDiTConfig(
+        dtype=jnp.float32, **{k: v for k, v in big.items() if k != "eps"})
+    path = str(tmp_path / "dit.safetensors")
+    save_file(tm.state_dict(), path)
+    lora_sd = make_peft_lora(tm, seed=6)
+    lora_path = str(tmp_path / "lora.safetensors")
+    save_file(dict(lora_sd), lora_path)
+
+    mm = model_io.ModelManager(torch_dtype=jnp.float32,
+                               quantize_dit="int4_w4a8")
+    mm.load_models([path])
+    mm.load_lora_v2(lora_path, lora_alpha=1.0)
+    qparams, qcfg = mm.fetch_model("wan_video_dit")
+    blk = qparams["blocks"]["self_attn"]["q"]
+    assert {"w_q4", "scale_q4", "r_q4", "s8_q4"} <= set(blk)
+    # second fetch returns the same (already-quantized) tree
+    qparams2, _ = mm.fetch_model("wan_video_dit")
+    assert qparams2 is qparams
+
+    # must equal quantize(LoRA-fused bf16 tree) exactly
+    mm_ref = model_io.ModelManager(torch_dtype=jnp.float32)
+    mm_ref.load_models([path])
+    mm_ref.load_lora_v2(lora_path, lora_alpha=1.0)
+    fused, _ = mm_ref.fetch_model("wan_video_dit")
+    want = wan_dit.quantize_params_for_inference(
+        dict(fused), "int4_w4a8")
+    np.testing.assert_array_equal(
+        np.asarray(qparams["blocks"]["self_attn"]["q"]["w_q4"]),
+        np.asarray(want["blocks"]["self_attn"]["q"]["w_q4"]))
+
+    # and the quantized forward tracks the exact forward
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 16, 1, 4, 4)), jnp.float32)
+    t = jnp.asarray([500.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 9, big["text_dim"])), jnp.float32)
+    out_q = np.asarray(wan_dit.forward(qparams, qcfg, x, t, ctx))
+    out_f = np.asarray(wan_dit.forward(fused, qcfg, x, t, ctx))
+    err = np.abs(out_q - out_f).max() / (np.abs(out_f).max() + 1e-9)
+    assert err < 0.12, f"int4 forward drift {err}"
+
+
+def test_model_manager_quantize_rejects_unknown_mode():
+    with pytest.raises(ValueError):
+        model_io.ModelManager(quantize_dit="fp8")
