@@ -601,11 +601,58 @@ def forward_prelude(
     return tokens, ctx, t, t_mod, grid
 
 
+def pick_remat_group(num_layers: int) -> int:
+    """Divisor of num_layers closest to sqrt(num_layers) (sqrt-remat group)."""
+    best = 1
+    target = num_layers ** 0.5
+    for g in range(1, num_layers + 1):
+        if num_layers % g == 0 and abs(g - target) < abs(best - target):
+            best = g
+    return best
+
+
+def scan_blocks_remat(body, carry, xs, *, group=None):
+    """`lax.scan` over the stacked block pytree with optional two-level
+    (square-root) rematerialization.
+
+    body(carry, xs_slice) -> carry, with per-block jax.checkpoint already
+    applied by the caller when remat is on. Plain scan then makes AD save one
+    carry per block (L × (b, S, dim) — 13.4 GB for the 14B at 480p/81f, more
+    than the whole chip). With `group`, blocks run as an outer scan over
+    L/group groups, each group wrapped in jax.checkpoint: AD saves
+    L/group + group carries instead of L, at the cost of one extra forward
+    recompute of the stack — the memory/compute trade that fits 14B LoRA
+    training activations on a single chip.
+    """
+
+    def step(c, x):
+        return body(c, x), None
+
+    length = jax.tree.leaves(xs)[0].shape[0]
+    if not group or group <= 1 or length % group or length == group:
+        carry, _ = jax.lax.scan(step, carry, xs)
+        return carry
+    xs_g = jax.tree.map(
+        lambda a: a.reshape((length // group, group) + a.shape[1:]), xs
+    )
+
+    @jax.checkpoint
+    def group_fn(c, xg):
+        c, _ = jax.lax.scan(step, c, xg)
+        return c
+
+    carry, _ = jax.lax.scan(lambda c, xg: (group_fn(c, xg), None), carry, xs_g)
+    return carry
+
+
 def forward_blocks(params, cfg: WanDiTConfig, tokens, ctx, t_mod, grid, use_remat=False,
                    lora=None, lora_scale: float = 1.0, num_img_tokens: int = 257,
-                   audio_embed=None, block_add_condition=None):
+                   audio_embed=None, block_add_condition=None,
+                   remat_granularity: Optional[int] = None):
     """The scanned DiT block stack (wan_video_dit.py:547-563). `lora` is an
-    optional stacked per-block pytree of unfused adapters (training)."""
+    optional stacked per-block pytree of unfused adapters (training).
+    remat_granularity: blocks per outer checkpoint group (sqrt-remat, see
+    scan_blocks_remat); only meaningful with use_remat."""
     cos, sin = rope_angles_for_grid(grid, cfg.head_dim)
     customtalk_carry = cfg.enable_customtalk and audio_embed is not None
 
@@ -617,6 +664,7 @@ def forward_blocks(params, cfg: WanDiTConfig, tokens, ctx, t_mod, grid, use_rema
 
     if use_remat:
         block_fn = jax.checkpoint(block_fn)
+    group = remat_granularity if use_remat else None
 
     if customtalk_carry:
         # add_condition re-binds to each block's audio-attn output
@@ -630,23 +678,27 @@ def forward_blocks(params, cfg: WanDiTConfig, tokens, ctx, t_mod, grid, use_rema
                 tok, cond = block_fn(tok, xs, None, cond)
             else:
                 tok, cond = block_fn(tok, xs[0], xs[1], cond)
-            return (tok, cond), None
+            return (tok, cond)
 
         xs = params["blocks"] if lora is None else (params["blocks"], lora)
-        (tokens, _), _ = jax.lax.scan(ct_body, (tokens, cond0.astype(tokens.dtype)), xs)
+        tokens, _ = scan_blocks_remat(
+            ct_body, (tokens, cond0.astype(tokens.dtype)), xs, group=group
+        )
         return tokens
 
     if lora is None:
         def scan_body(tok, bp):
-            return block_fn(tok, bp, None), None
+            return block_fn(tok, bp, None)
 
-        tokens, _ = jax.lax.scan(scan_body, tokens, params["blocks"])
+        tokens = scan_blocks_remat(scan_body, tokens, params["blocks"], group=group)
     else:
         def scan_body(tok, xs):
             bp, lbp = xs
-            return block_fn(tok, bp, lbp), None
+            return block_fn(tok, bp, lbp)
 
-        tokens, _ = jax.lax.scan(scan_body, tokens, (params["blocks"], lora))
+        tokens = scan_blocks_remat(
+            scan_body, tokens, (params["blocks"], lora), group=group
+        )
     return tokens
 
 
@@ -669,6 +721,7 @@ def forward(
     lora=None,
     lora_scale: float = 1.0,
     audio_embed_tuple=None,
+    remat_granularity: Optional[int] = None,
 ) -> jax.Array:
     """Full DiT forward (wan_video_dit.py:486-567 / svi_video.py:74-137).
 
@@ -692,6 +745,7 @@ def forward(
         lora=lora, lora_scale=lora_scale, num_img_tokens=n_img,
         audio_embed=audio_embed,
         block_add_condition=add_condition if cfg.enable_customtalk else None,
+        remat_granularity=remat_granularity,
     )
     return forward_head(params, cfg, tokens, t, grid)
 

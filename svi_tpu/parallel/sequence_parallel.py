@@ -180,6 +180,7 @@ def forward_sp(
     use_remat: bool = False,
     ring: bool = False,
     audio_embed_tuple=None,
+    remat_granularity: Optional[int] = None,
 ) -> jax.Array:
     """Sequence-parallel equivalent of wan_dit.forward. Call under jit with
     `mesh`'s axes ('data', 'sp'); batch shards over 'data'. Supports the
@@ -236,6 +237,7 @@ def forward_sp(
 
         if use_remat:
             block_fn = jax.checkpoint(block_fn)
+        group = remat_granularity if use_remat else None
 
         if customtalk_carry:
             def ct_body(carry, xs):
@@ -244,20 +246,20 @@ def forward_sp(
                     tk, cond = block_fn(tk, xs, None, cond)
                 else:
                     tk, cond = block_fn(tk, xs[0], xs[1], cond)
-                return (tk, cond), None
+                return (tk, cond)
 
             xs = blocks if lora_ is None else (blocks, lora_)
-            (tok, _), _ = jax.lax.scan(ct_body, (tok, cond_), xs)
+            tok, _ = wan_dit.scan_blocks_remat(ct_body, (tok, cond_), xs, group=group)
         elif lora_ is None:
             def scan_body(tk, bp):
-                return block_fn(tk, bp, None), None
+                return block_fn(tk, bp, None)
 
-            tok, _ = jax.lax.scan(scan_body, tok, blocks)
+            tok = wan_dit.scan_blocks_remat(scan_body, tok, blocks, group=group)
         else:
             def scan_body(tk, xs):
-                return block_fn(tk, *xs), None
+                return block_fn(tk, *xs)
 
-            tok, _ = jax.lax.scan(scan_body, tok, (blocks, lora_))
+            tok = wan_dit.scan_blocks_remat(scan_body, tok, (blocks, lora_), group=group)
         # shard-local head (wan_dit.head): modulated norm + output projection
         return wan_dit.head({"head": head_params}, cfg, tok, t_)
 

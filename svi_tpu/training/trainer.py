@@ -42,6 +42,11 @@ class TrainerConfig:
     lora_alpha: float = 128.0
     lora_targets: tuple = lora_mod.DEFAULT_TARGETS
     use_gradient_checkpointing: bool = True
+    # blocks per outer checkpoint group (sqrt-remat): 1 = per-block remat
+    # (fastest, most memory), 0 = auto (divisor of num_layers nearest
+    # sqrt(L)), n>1 = explicit group size. Cuts AD-saved block carries from
+    # L to L/n + n — what fits 14B LoRA training on a single chip.
+    remat_granularity: int = 1
     # error recycling (ref :684-712)
     use_error_recycling: bool = True
     error_buffer_k: int = 500
@@ -96,7 +101,8 @@ def merge_customtalk_params(base_params, ct):
 
 
 def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=True,
-                    mesh=None, train_pose: bool = False, train_customtalk: bool = False):
+                    mesh=None, train_pose: bool = False, train_customtalk: bool = False,
+                    remat_granularity: int = 1):
     """Returns jitted train_step(lora, opt_state, base_params, batch) ->
     (lora, opt_state, metrics dict with loss/noise_error/y_error).
 
@@ -110,6 +116,9 @@ def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=T
     gradient averaging across data shards falls out of the mean loss.
     """
 
+    if remat_granularity == 0:
+        remat_granularity = wan_dit.pick_remat_group(dit_cfg.num_layers)
+
     def _forward(base_params, noisy, timestep, context, clip_feature, y, lora,
                  add_condition=None, audio_embed_tuple=None):
         if mesh is not None:
@@ -120,12 +129,14 @@ def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=T
                 clip_feature=clip_feature, y=y, add_condition=add_condition,
                 mesh=mesh, lora=lora, lora_scale=lora_scale, use_remat=use_remat,
                 audio_embed_tuple=audio_embed_tuple,
+                remat_granularity=remat_granularity,
             )
         return wan_dit.forward(
             base_params, dit_cfg, noisy, timestep, context,
             clip_feature=clip_feature, y=y, add_condition=add_condition,
             use_remat=use_remat, lora=lora, lora_scale=lora_scale,
             audio_embed_tuple=audio_embed_tuple,
+            remat_granularity=remat_granularity,
         )
 
     def loss_fn(trainable, base_params, batch):
@@ -248,6 +259,7 @@ class ErrorRecyclingTrainer:
             use_remat=self.cfg.use_gradient_checkpointing, mesh=mesh,
             train_pose=self.cfg.train_pose,
             train_customtalk=self.cfg.train_architecture == "customtalk",
+            remat_granularity=self.cfg.remat_granularity,
         )
 
     @property

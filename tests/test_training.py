@@ -131,6 +131,34 @@ def test_training_steps_reduce_loss_and_fill_buffers():
     assert float(jnp.abs(trainer.lora["self_attn"]["q"]["b"]).sum()) > 0
 
 
+def test_sqrt_remat_training_step_identical():
+    """remat_granularity only changes the AD save/recompute plan — the loss
+    trajectory must be bit-comparable to per-block remat."""
+    cfg4 = wan_dit.WanDiTConfig(
+        dim=64, in_dim=12, ffn_dim=128, out_dim=4, text_dim=48, freq_dim=32,
+        num_heads=2, num_layers=4, has_image_input=True, dtype=jnp.float32,
+        clip_feature_dim=40,
+    )
+    rng = np.random.default_rng(7)
+    latents = rng.standard_normal((1, 4, 2, 8, 8)).astype(np.float32)
+    ctx = rng.standard_normal((1, 7, 48)).astype(np.float32)
+    y = rng.standard_normal((1, 8, 2, 8, 8)).astype(np.float32)
+    clip = rng.standard_normal((1, 257, 40)).astype(np.float32)
+
+    def run(granularity):
+        params = wan_dit.init_params(jax.random.PRNGKey(0), cfg4)
+        tc = TrainerConfig(lora_rank=4, lora_alpha=4.0, buffer_warmup_iter=2,
+                           error_buffer_k=8, num_grids=10, seed=0,
+                           remat_granularity=granularity)
+        trainer = ErrorRecyclingTrainer(params, cfg4, tc)
+        losses = [trainer.training_step(latents, ctx, y=y, clip_feature=clip)["loss"]
+                  for _ in range(2)]
+        return losses
+
+    # granularity 0 = auto (pick_remat_group(4) == 2)
+    np.testing.assert_allclose(run(1), run(0), rtol=1e-5, atol=1e-6)
+
+
 def test_lora_checkpoint_roundtrip(tmp_path):
     trainer = make_trainer()
     rng = np.random.default_rng(1)

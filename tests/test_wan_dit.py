@@ -93,6 +93,45 @@ def test_remat_matches():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
 
 
+def test_sqrt_remat_matches_forward_and_grads():
+    """Two-level (sqrt) remat must be numerically identical to per-block
+    remat in both the forward and the backward (it only changes what AD
+    saves vs recomputes)."""
+    import jax
+
+    assert wan_dit.pick_remat_group(40) == 5  # 14B: 40 layers -> groups of 5
+    assert wan_dit.pick_remat_group(30) == 5  # 1.3B: 30 layers -> groups of 5
+
+    cfg = wan_dit.WanDiTConfig(
+        dim=64, in_dim=16, ffn_dim=128, out_dim=16, text_dim=48, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=2, num_layers=4, dtype=jnp.float32,
+    )
+    params = wan_dit.init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 16, 2, 4, 4)), jnp.float32)
+    t = jnp.asarray([10.0])
+    ctx = jnp.asarray(rng.standard_normal((1, 5, 48)), jnp.float32)
+
+    def run(granularity):
+        return wan_dit.forward(params, cfg, x, t, ctx, use_remat=True,
+                               remat_granularity=granularity)
+
+    base = np.asarray(run(None))
+    np.testing.assert_allclose(np.asarray(run(2)), base, rtol=1e-6, atol=1e-6)
+    # granularity == num_layers degenerates to the plain scan
+    np.testing.assert_allclose(np.asarray(run(4)), base, rtol=1e-6, atol=1e-6)
+
+    def loss(granularity):
+        def f(p):
+            return jnp.sum(wan_dit.forward(p, cfg, x, t, ctx, use_remat=True,
+                                           remat_granularity=granularity) ** 2)
+        return jax.grad(f)(params)
+
+    g1, g2 = loss(None), loss(2)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
 def test_int8_quantized_forward_close():
     """int8 weight storage: output stays close to bf16-weights forward, and
     the stored bytes roughly halve."""
