@@ -41,6 +41,14 @@ def build_parser(description="SVI-TPU error-recycling LoRA training"):
     p.add_argument("--use_gradient_checkpointing_offload", action="store_true", default=False)
     p.add_argument("--training_strategy", type=str, default="data_parallel",
                    help="mesh layout: data_parallel | sp | dataxsp (ZeRO analog: sharded batch)")
+    p.add_argument("--remat_granularity", type=int, default=1,
+                   help="blocks per checkpoint group: 1 = per-block remat, 0 = auto "
+                        "sqrt(L) grouping (fits 14B LoRA activations on one chip), "
+                        "n>1 explicit")
+    p.add_argument("--quantize", type=str, default="none",
+                   help="DiT base-weight quantization for QLoRA-style training: "
+                        "none | int8 | w8a8 | int4 | int4_w4a8 (int4_w4a8 fits the "
+                        "14B base on one 16GB chip; adapters stay fp32)")
     p.add_argument("--output_path", type=str, default="./experiments/train/svi")
     p.add_argument("--use_error_recycling", action="store_true", default=False)
     p.add_argument("--error_buffer_k", type=int, default=500)
@@ -114,6 +122,7 @@ def trainer_config_from_args(args):
         y_error_sample_from_all_grids=args.y_error_sample_from_all_grids,
         y_error_sample_range=y_range,
         seed=args.seed,
+        remat_granularity=args.remat_granularity,
     )
 
 
@@ -123,7 +132,9 @@ def load_models_and_prompter(args):
     from svi_tpu.models.model_io import ModelManager
     from svi_tpu.prompters.wan_prompter import WanPrompter
 
-    mm = ModelManager(torch_dtype=jnp.bfloat16)
+    quantize = getattr(args, "quantize", "none")
+    mm = ModelManager(torch_dtype=jnp.bfloat16,
+                      quantize_dit=None if quantize == "none" else quantize)
     dit_paths = args.dit_path.split(",") if "," in args.dit_path else args.dit_path
     load_list = [dit_paths, args.vae_path, args.text_encoder_path]
     if args.image_encoder_path:

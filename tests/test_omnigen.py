@@ -196,7 +196,7 @@ def test_omnigen_pipeline_smoke():
         num_heads=4, num_kv_heads=2, rope_cfg=TINY_ROPE)
     pipe.transformer_params = params
 
-    def fake_decode(p, lat):
+    def fake_decode(p, lat, tiled=False, tile_size=64, tile_stride=32):
         # fold the latents into the output so non-finite values surface
         return jnp.broadcast_to(jnp.tanh(lat.mean()), (1, 3, 16, 16))
 

@@ -44,6 +44,8 @@ def test_train_driver_end_to_end(tmp_path, monkeypatch):
         # 2x4 mesh on the virtual 8-CPU topology: the sharded train step
         # (batch over 'data', DiT forward sequence-parallel over 'sp')
         "--training_strategy", "dataxsp",
+        # auto sqrt-remat grouping through the CLI
+        "--remat_granularity", "0",
     ]
     monkeypatch.setattr(sys, "argv", argv)
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))

@@ -159,6 +159,29 @@ def test_sqrt_remat_training_step_identical():
     np.testing.assert_allclose(run(1), run(0), rtol=1e-5, atol=1e-6)
 
 
+def test_qlora_int4_base_training_step():
+    """LoRA training through an int4-quantized base (the single-chip 14B
+    recipe): grads must flow through the packed weights' dequant matmuls to
+    the side adapters."""
+    cfg = wan_dit.WanDiTConfig(
+        dim=128, in_dim=36, ffn_dim=256, out_dim=16, num_heads=1, num_layers=4,
+        has_image_input=True, dtype=jnp.float32,
+    )
+    params = wan_dit.init_params(jax.random.PRNGKey(0), cfg)
+    q4 = wan_dit.quantize_params_int4(params, min_size=1024)
+    tc = TrainerConfig(lora_rank=4, lora_alpha=4.0, seed=0, remat_granularity=2)
+    trainer = ErrorRecyclingTrainer(q4, cfg, tc)
+    rng = np.random.default_rng(0)
+    m = trainer.training_step(
+        rng.standard_normal((1, 16, 2, 8, 8)).astype(np.float32),
+        rng.standard_normal((1, 5, 4096)).astype(np.float32),
+        y=rng.standard_normal((1, 20, 2, 8, 8)).astype(np.float32),
+        clip_feature=rng.standard_normal((1, 257, 1280)).astype(np.float32),
+    )
+    assert np.isfinite(m["loss"]) and m["grad_norm"] > 0
+    assert float(jnp.abs(trainer.lora["self_attn"]["q"]["b"]).sum()) > 0
+
+
 def test_lora_checkpoint_roundtrip(tmp_path):
     trainer = make_trainer()
     rng = np.random.default_rng(1)
