@@ -351,17 +351,21 @@ def _bwd_dq_kernel_flat(
         q = _rope_in_kernel(q, cq_ref[:], sq_ref[:], head_dim)
         k = _rope_in_kernel(k, ck_ref[:], sk_ref[:], head_dim)
     g = g_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0]  # (bq, 1)
-    delta = delta_ref[0, 0]  # (bq, 1)
+    # lse/delta live as (B, N, 1, Sq) rows — q positions in lanes, so the
+    # score tile is computed TRANSPOSED (bk, bq) and the row vector
+    # broadcasts without any lane->sublane relayout (a (…, Sq, 1) layout
+    # pads the trailing singleton to 128 lanes: 128x the HBM footprint)
+    lse = lse_ref[0, 0]  # (1, bq)
+    delta = delta_ref[0, 0]  # (1, bq)
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    p = jnp.exp2((s - lse) * _LOG2E)
-    dp = jax.lax.dot_general(g, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    ds = p * (dp - delta)
+    s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32) * scale
+    p_t = jnp.exp2((s_t - lse) * _LOG2E)
+    dp_t = jax.lax.dot_general(v_ref[0].astype(jnp.float32), g, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    ds_t = p_t * (dp_t - delta)
     acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds_t, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
 
     @pl.when(j == nk - 1)
@@ -391,20 +395,20 @@ def _bwd_dkv_kernel_flat(
         q = _rope_in_kernel(q, cq_ref[:], sq_ref[:], head_dim)
         k = _rope_in_kernel(k, ck_ref[:], sk_ref[:], head_dim)
     g = g_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0]
-    delta = delta_ref[0, 0]
+    lse = lse_ref[0, 0]  # (1, bq) — see the dq kernel's layout note
+    delta = delta_ref[0, 0]  # (1, bq)
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale  # (bq, bk)
-    p = jnp.exp2((s - lse) * _LOG2E)
-    dp = jax.lax.dot_general(g, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    ds = p * (dp - delta)
+    s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32) * scale  # (bk, bq)
+    p_t = jnp.exp2((s_t - lse) * _LOG2E)
+    dp_t = jax.lax.dot_general(v_ref[0].astype(jnp.float32), g, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    ds_t = p_t * (dp_t - delta)
     dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds_t, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
-        p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p_t, g, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
 
     @pl.when(i == nq - 1)
@@ -419,7 +423,7 @@ def _bwd_dkv_kernel_flat(
 def _flash_bwd_pallas_flat(q, k, v, g, lse, delta, cosE, sinE, scale,
                            block_q, block_k, head_dim, fuse_rope):
     """All flat (B, S, N*D), zero-padded to block multiples; lse/delta
-    (B, N, Sq, 1). Returns (dq, dk, dv) flat."""
+    (B, N, 1, Sq) rows (q positions in lanes). Returns (dq, dk, dv) flat."""
     b, sq, nd = q.shape
     sk = k.shape[1]
     n = nd // head_dim
@@ -444,8 +448,8 @@ def _flash_bwd_pallas_flat(q, k, v, g, lse, delta, cosE, sinE, scale,
             pl.BlockSpec((1, block_k, head_dim), lambda b_, n_, i, j: (b_, j, n_)),
             pl.BlockSpec((1, block_k, head_dim), lambda b_, n_, i, j: (b_, j, n_)),
             pl.BlockSpec((1, block_q, head_dim), lambda b_, n_, i, j: (b_, i, n_)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b_, n_, i, j: (b_, n_, i, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b_, n_, i, j: (b_, n_, i, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b_, n_, i, j: (b_, n_, 0, i)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b_, n_, i, j: (b_, n_, 0, i)),
             q_tab("c"), q_tab("s"), k_tab("c"), k_tab("s"),
         ],
         out_specs=pl.BlockSpec((1, block_q, head_dim), lambda b_, n_, i, j: (b_, i, n_)),
@@ -469,8 +473,8 @@ def _flash_bwd_pallas_flat(q, k, v, g, lse, delta, cosE, sinE, scale,
             pl.BlockSpec((1, block_k, head_dim), lambda b_, n_, j, i: (b_, j, n_)),
             pl.BlockSpec((1, block_k, head_dim), lambda b_, n_, j, i: (b_, j, n_)),
             pl.BlockSpec((1, block_q, head_dim), lambda b_, n_, j, i: (b_, i, n_)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b_, n_, j, i: (b_, n_, i, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b_, n_, j, i: (b_, n_, i, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b_, n_, j, i: (b_, n_, 0, i)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b_, n_, j, i: (b_, n_, 0, i)),
             q_tab2(), q_tab2(), k_tab2(), k_tab2(),
         ],
         out_specs=[
@@ -707,8 +711,8 @@ def _flash_core_flat_bwd(kv_len, scale, use_pallas, use_rope, head_dim, res, g):
         else:
             cosE = sinE = jnp.zeros((8, head_dim), jnp.float32)
         dq, dk, dv = _flash_bwd_pallas_flat(
-            qp, kp, vp, gp, lse_p[..., None], delta[..., None], cosE, sinE,
-            scale, block_q, block_k, head_dim, use_rope,
+            qp, kp, vp, gp, lse_p[:, :, None, :], delta[:, :, None, :],
+            cosE, sinE, scale, block_q, block_k, head_dim, use_rope,
         )
         zc = jnp.zeros_like(jnp.asarray(cos, jnp.float32))
         zs = jnp.zeros_like(jnp.asarray(sin, jnp.float32))

@@ -132,6 +132,36 @@ def test_sqrt_remat_matches_forward_and_grads():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
 
 
+def test_quantized_dense_straight_through_grads():
+    """The int8-MXU execution paths (W8A8, W4A8) are trainable: the custom
+    VJP routes dx through the dequantized linearization instead of the
+    zero-gradient round() — dx must track the bf16 dense's dx."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    wf = rng.standard_normal((512, 768)).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.standard_normal((32, 512)), jnp.float32)
+    tree = {"blk": {"q": {"w": jnp.asarray(wf)}}}
+
+    def dx_of(p):
+        return jax.grad(
+            lambda x: jnp.sum(wan_dit._dense(p, x).astype(jnp.float32) ** 2)
+        )(x).astype(jnp.float32)
+
+    g_ref = dx_of({"w": jnp.asarray(wf)})
+    variants = {
+        "w8a8": wan_dit.quantize_params_w8a8(tree, min_size=1024)["blk"]["q"],
+        "int4": wan_dit.quantize_params_int4(tree, min_size=1024)["blk"]["q"],
+        "w4a8": wan_dit.quantize_params_int4(tree, min_size=1024,
+                                             w4a8=True)["blk"]["q"],
+    }
+    for name, p in variants.items():
+        g = dx_of(p)
+        rel = float(np.abs(g - g_ref).mean() / (np.abs(g_ref).mean() + 1e-9))
+        assert rel < 0.12, (name, rel)
+        assert np.abs(g).mean() > 0.1 * np.abs(g_ref).mean(), name  # not ~zero
+
+
 def test_int8_quantized_forward_close():
     """int8 weight storage: output stays close to bf16-weights forward, and
     the stored bytes roughly halve."""
