@@ -696,11 +696,14 @@ def _flash_core_flat_bwd(kv_len, scale, use_pallas, use_rope, head_dim, res, g):
         gp = jnp.pad(g, ((0, 0), (0, sq_p - sq), (0, 0))) if sq_p != sq else g
         kp = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else k
         vp = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else v
-        delta = jnp.sum(
-            g.astype(jnp.float32).reshape(b, sq, n, head_dim)
-            * out.astype(jnp.float32).reshape(b, sq, n, head_dim),
-            axis=-1,
-        ).transpose(0, 2, 1)  # (B, N, Sq)
+        # delta = rowsum(dO ∘ O) per head, f32-accumulated WITHOUT
+        # materializing f32 copies of g/out (each is (S, N·D) — 670 MB at
+        # 14B/480p/81f and XLA emits them as real copies before a transpose)
+        delta = jnp.einsum(
+            "bsnd,bsnd->bns",
+            g.reshape(b, sq, n, head_dim), out.reshape(b, sq, n, head_dim),
+            preferred_element_type=jnp.float32,
+        )  # (B, N, Sq)
         lse_p = lse
         if sq_p != sq:
             delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_p - sq)))
