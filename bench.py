@@ -332,6 +332,13 @@ def main():
         "cond_encode_seconds": None if t_encode is None else round(t_encode, 2),
         "vae_decode_seconds": None if t_decode is None else round(t_decode, 2),
         "baseline": "A100-80G estimate: same FLOPs at 50% bf16 util + measured VAE cost",
+        "baseline_note": (
+            "conservative: the reference's actual 14B-on-A100 config offloads "
+            "weights past num_persistent_param_in_dit=6e9 to host RAM "
+            "(ref test_svi.py:351, vram_management/layers.py), so its real "
+            "wall-clock is below the zero-offload estimate used here; the only "
+            "published reference wall-clock is Wan2.2-5B-SVI at ~10 min per "
+            "1-min video on 1xH100 (ref docs/DevLog.md:4)"),
         "flagship_14b_bf16": fl14_bf16,
         **train_detail,
     }

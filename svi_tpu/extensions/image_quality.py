@@ -349,7 +349,41 @@ def load_preference_model(model_name, device="cpu", path=None, engine="jax"):
         text_features_fn = qt.make_blip_feature_fn(vit, bert, hv, ht, tok)
         return ImageRewardScore(mlp_params, text_features_fn)
 
-    raise NotImplementedError(
-        f"{model_name!r} needs its vendored checkpoint stack (the MPS "
-        "trainer cross-model); construct MPScore directly with encoder "
-        "callables over your local checkpoints")
+    if model_name == "MPS":
+        # ref mps.py:27-43: one safetensors file holding the full
+        # trainer/models/clip_model.py CLIPModel — `model.*` is a
+        # transformers CLIPModel (CLIP-H: plain gelu), `cross_model.*` the
+        # CoCa-style multi-query head (cross_modeling.py) — scored with
+        # token-level projected features (clip_model.py:21-91)
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(path["clip"])
+        sd = _load_state_dict_any(path["mps"])
+        clip_sd = {k[len("model."):]: v for k, v in sd.items()
+                   if k.startswith("model.")}
+        vis, txt, _ = qt.clip_params_from_hf(clip_sd)
+        # MPScore exponentiates (mps.py:96 logit_scale.exp()); feed the raw
+        # parameter, not the exp'd scale clip_params_from_hf returns
+        scale = float(np.asarray(clip_sd["logit_scale"]))
+        cross = qt.cross_model_params_from_torch(sd)
+        hv = _heads(clip_sd, "vision_model.embeddings.class_embedding")
+        ht = _WIDTH_TO_HEADS.get(int(txt["tok"].shape[1]),
+                                 max(1, txt["tok"].shape[1] // 64))
+        max_len = min(int(getattr(tok, "model_max_length", 77)), 77)
+
+        def text_features_fn(prompt):
+            ids = tok(prompt, max_length=max_len, padding="max_length",
+                      truncation=True, return_tensors="np").input_ids
+            toks, pooled = qt.clip_text_token_features(txt, ids, ht)
+            return np.asarray(toks), np.asarray(pooled)
+
+        def image_features_fn(image):
+            px = jnp.asarray(qt.clip_preprocess(image, 224))
+            return np.asarray(qt.clip_image_token_features(vis, px, hv))
+
+        def cross_fn(image_f, text_f, mask):
+            return qt.cross_model_forward(cross, image_f, text_f, mask)
+
+        return MPScore(text_features_fn, image_features_fn, cross_fn, scale)
+
+    raise NotImplementedError(f"{model_name!r} has no loader wired")

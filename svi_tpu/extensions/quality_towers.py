@@ -444,3 +444,161 @@ def make_blip_feature_fn(vit, bert, heads_v, heads_t, tokenizer, size=224):
         return np.asarray(out[:, 0, :])
 
     return text_features_fn
+
+
+# ---------------------------------------------------------------------------
+# MPS cross-model (trainer/models/cross_modeling.py): CoCa-style multi-query
+# cross-attention head that re-reads the image tokens under a text-condition
+# mask. Used only by MPScore (mps.py:90).
+# ---------------------------------------------------------------------------
+
+
+def _swiglu(x):
+    """cross_modeling.py:69-72: chunk(2) -> silu(gate) * x."""
+    a, gate = jnp.split(x, 2, axis=-1)
+    return jax.nn.silu(gate) * a
+
+
+def _rotary_table(n, dim_head, inv_freq=None):
+    """cross_modeling.py:43-52: freqs (n, d/2) duplicated to (n, d)."""
+    if inv_freq is None:
+        inv_freq = 1.0 / (10000.0 ** (np.arange(0, dim_head, 2,
+                                                dtype=np.float32) / dim_head))
+    seq = jnp.arange(n, dtype=jnp.float32)
+    freqs = jnp.einsum("i,j->ij", seq, jnp.asarray(inv_freq, jnp.float32))
+    return jnp.concatenate([freqs, freqs], axis=-1)
+
+
+def _rotate_half_mps(t):
+    """cross_modeling.py:55-58: split the last dim in two halves, (-x2, x1).
+    (NOT the interleaved GPT-NeoX layout.)"""
+    x1, x2 = jnp.split(t, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def _apply_rotary_mps(pos, t):
+    return t * jnp.cos(pos) + _rotate_half_mps(t) * jnp.sin(pos)
+
+
+def cross_model_forward(p, query_tokens, context_tokens, mask):
+    """Cross_model.forward (cross_modeling.py:261-292): layer_num x
+    [residual multi-query CrossAttention w/ parallel SwiGLU FF onto the
+    context, then a residual PaLM-style ParallelTransformerBlock].
+
+    query_tokens (B,N,D) image features, context_tokens (B,M,D) text
+    features, mask additive (B,N,M) (0 / -inf). All math f32."""
+    x = jnp.asarray(query_tokens, jnp.float32)
+    ctx = jnp.asarray(context_tokens, jnp.float32)
+    mask = jnp.asarray(mask, jnp.float32)[:, None]  # (B,1,N,M) per-head bcast
+    for layer in p["layers"]:
+        ca, sa = layer["cross"], layer["self"]
+        # --- Residual(CrossAttention(parallel_ff=True)) (:172-258) ---
+        h = ca["heads"]
+        xn = _ln(ca["norm"], x)
+        d_head = ca["to_kv"]["w"].shape[-1] // 2
+        B, N, _ = xn.shape
+        q = _dense(ca["to_q"], xn).reshape(B, N, h, d_head).transpose(0, 2, 1, 3)
+        q = q * (d_head ** -0.5)
+        k, v = jnp.split(_dense(ca["to_kv"], ctx), 2, axis=-1)
+        sim = jnp.einsum("bhid,bjd->bhij", q, k) + mask
+        sim = sim - jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhij,bjd->bhid", attn, v)
+        out = _dense(ca["to_out"], out.transpose(0, 2, 1, 3).reshape(B, N, -1))
+        out = out + _dense(ca["ff2"], _swiglu(_dense(ca["ff1"], xn)))
+        x = x + out
+        # --- Residual(ParallelTransformerBlock) (:78-168) ---
+        h = sa["heads"]
+        xn = _ln(sa["norm"], x)
+        d_head = sa["dim_head"]
+        fused = _dense(sa["fused"], xn)
+        qd = h * d_head
+        q = fused[..., :qd].reshape(B, N, h, d_head).transpose(0, 2, 1, 3)
+        k = fused[..., qd:qd + d_head]
+        v = fused[..., qd + d_head:qd + 2 * d_head]
+        ff = fused[..., qd + 2 * d_head:]
+        pos = _rotary_table(N, d_head, sa.get("inv_freq"))
+        q = _apply_rotary_mps(pos, q)
+        k = _apply_rotary_mps(pos, k)
+        q = q * (d_head ** -0.5)
+        sim = jnp.einsum("bhid,bjd->bhij", q, k)
+        sim = sim - jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhij,bjd->bhid", attn, v)
+        out = _dense(sa["attn_out"], out.transpose(0, 2, 1, 3).reshape(B, N, -1))
+        x = x + out + _dense(sa["ff_out"], _swiglu(ff))
+    return x
+
+
+def cross_model_params_from_torch(sd, prefix="cross_model."):
+    """Cross_model state dict (keys `layers.{i}.{0,1}.fn.*` under `prefix`,
+    Residual wrappers adding the `.fn`) -> forward params. The LayerNorm
+    bias is a registered zero buffer (cross_modeling.py:18-25) — loaded, not
+    assumed."""
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    n_layers = 1 + max(int(k.split(".")[1]) for k in sd if k.startswith("layers."))
+    layers = []
+    for i in range(n_layers):
+        c, s = f"layers.{i}.0.fn", f"layers.{i}.1.fn"
+        to_kv = _lin(sd, f"{c}.to_kv")
+        d_head = to_kv["w"].shape[-1] // 2
+        cross = {
+            "norm": _ln_p(sd, f"{c}.norm"),
+            "to_q": _lin(sd, f"{c}.to_q"),
+            "to_kv": to_kv,
+            "to_out": _lin(sd, f"{c}.to_out"),
+            "ff1": _lin(sd, f"{c}.ff.0"),
+            "ff2": _lin(sd, f"{c}.ff.2"),
+            "heads": _lin(sd, f"{c}.to_q")["w"].shape[-1] // d_head,
+        }
+        fused = _lin(sd, f"{s}.fused_attn_ff_proj")
+        attn_out = _lin(sd, f"{s}.attn_out")
+        dim = attn_out["w"].shape[-1]
+        # fused splits = (h*d, d, d, ff_inner*2); ParallelTransformerBlock
+        # shares dim_head across attn branches of the layer
+        self_p = {
+            "norm": _ln_p(sd, f"{s}.norm"),
+            "fused": fused,
+            "attn_out": attn_out,
+            "ff_out": _lin(sd, f"{s}.ff_out.1"),
+            "heads": attn_out["w"].shape[0] // d_head,
+            "dim_head": d_head,
+        }
+        if f"{s}.rotary_emb.inv_freq" in sd:
+            self_p["inv_freq"] = _t(sd[f"{s}.rotary_emb.inv_freq"])
+        layers.append({"cross": cross, "self": self_p})
+    return {"layers": layers}
+
+
+def clip_text_token_features(text, ids, heads_t, quick_gelu=False,
+                             ln_eps=1e-5):
+    """XCLIPModel.get_text_features (trainer/models/clip_model.py:21-59):
+    token-level projected features instead of pooled-only — the full
+    post-final-LN hidden sequence through text_projection, plus the usual
+    EOT-pooled projection. Returns (text_tokens, text_pooled)."""
+    ids = jnp.asarray(ids)
+    B, L = ids.shape
+    x = text["tok"][ids] + text["pos"][:L][None]
+    cmask = jnp.triu(jnp.full((L, L), -jnp.inf, x.dtype), k=1)[None, None]
+    for blk in text["blocks"]:
+        x = _pre_ln_block(blk, x, heads_t, mask=cmask, quick_gelu=quick_gelu,
+                          ln_eps=ln_eps)
+    x = _ln(text["ln_final"], x, ln_eps)
+    pooled = x[jnp.arange(B), ids.argmax(axis=-1)]
+    if text.get("proj") is not None:
+        x = x @ text["proj"]
+        pooled = pooled @ text["proj"]
+    return x, pooled
+
+
+def clip_image_token_features(vision, px, heads_v, quick_gelu=False,
+                              ln_eps=1e-5):
+    """XCLIPModel.get_image_features (trainer/models/clip_model.py:61-91):
+    the raw encoder last_hidden_state (transformers applies NO
+    post_layernorm to it, only to the pooled CLS) through
+    visual_projection. Returns (B, 1+patches, proj_dim) tokens."""
+    _, img_tokens = clip_vision_forward(vision, px, heads_v,
+                                        quick_gelu=quick_gelu, ln_eps=ln_eps)
+    if vision.get("proj") is not None:
+        img_tokens = img_tokens @ vision["proj"]
+    return img_tokens

@@ -319,7 +319,9 @@ def load_reference_package():
     pkg.__path__ = [f"{REF}/diffsynth"]
     sys.modules["diffsynth"] = pkg
     for sub in ["models", "schedulers", "utils", "prompters", "pipelines",
-                "configs", "extensions", "extensions/ImageQualityMetric"]:
+                "configs", "extensions", "extensions/ImageQualityMetric",
+                "extensions/ImageQualityMetric/trainer",
+                "extensions/ImageQualityMetric/trainer/models"]:
         dotted = sub.replace("/", ".")
         mod = types.ModuleType(f"diffsynth.{dotted}")
         mod.__path__ = [f"{REF}/diffsynth/{sub}"]

@@ -218,3 +218,108 @@ def test_feature_fns_shapes():
     assert tx_fn("hello").shape == (1, 24)
     i, t, s = feat_fn(img, "hello")
     assert i.shape == (1, 24) and t.shape == (1, 24) and s == pytest.approx(scale)
+
+
+def test_mps_cross_model_vs_vendored():
+    """Cross_model (trainer/models/cross_modeling.py:261-292) golden parity:
+    multi-query cross-attn w/ parallel SwiGLU FF + rotary PaLM block."""
+    import importlib
+
+    from reference_loader import load_reference_package
+
+    load_reference_package()
+    cm = importlib.import_module(
+        "diffsynth.extensions.ImageQualityMetric.trainer.models.cross_modeling")
+    model = cm.Cross_model(dim=32, layer_num=2, dim_head=8, heads=4, ff_mult=2)
+    model = _randomize(model, 5, scale=0.2)
+    params = qt.cross_model_params_from_torch(
+        {"cross_model." + k: v.numpy() for k, v in model.state_dict().items()})
+
+    torch.manual_seed(6)
+    q = torch.randn(2, 9, 32)
+    ctx = torch.randn(2, 7, 32)
+    mask = torch.where(torch.rand(2, 9, 7) > 0.3,
+                       torch.tensor(0.0), torch.tensor(float("-inf")))
+    with torch.no_grad():
+        ref = model(q, ctx, mask).numpy()
+    got = np.asarray(qt.cross_model_forward(params, q.numpy(), ctx.numpy(),
+                                            mask.numpy()))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_mps_score_end_to_end_vs_reference_math():
+    """Full MPScore path (mps.py:45-97) on a tiny CLIP: our converters +
+    token-feature forwards + cross_model + mask vs a direct torch
+    transcription using the vendored Cross_model."""
+    import importlib
+
+    from reference_loader import load_reference_package
+    from transformers import CLIPConfig, CLIPModel
+
+    from svi_tpu.extensions import image_quality as iq
+
+    load_reference_package()
+    cm = importlib.import_module(
+        "diffsynth.extensions.ImageQualityMetric.trainer.models.cross_modeling")
+
+    cfg = CLIPConfig(
+        text_config=dict(hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=2,
+                         vocab_size=99, hidden_act="gelu",
+                         eos_token_id=98, bos_token_id=0, pad_token_id=1),
+        vision_config=dict(hidden_size=48, intermediate_size=96,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           image_size=16, patch_size=8, hidden_act="gelu"),
+        projection_dim=24,
+    )
+    clip = _randomize(CLIPModel(cfg), 7)
+    cross = _randomize(cm.Cross_model(dim=24, layer_num=2, dim_head=8,
+                                      heads=3, ff_mult=2), 9, scale=0.2)
+
+    ids = torch.tensor([[0, 5, 9, 98]])
+    cond_ids = torch.tensor([[0, 7, 3, 98]])
+    torch.manual_seed(10)
+    px = torch.randn(1, 3, 16, 16)
+
+    # ---- reference math (mps.py:66-97 w/ clip_model.py XCLIPModel feats) ----
+    with torch.no_grad():
+        t_out = clip.text_model(input_ids=ids)
+        text_f = clip.text_projection(t_out[0])
+        text_features = clip.text_projection(t_out[1])
+        c_out = clip.text_model(input_ids=cond_ids)
+        condition_f = clip.text_projection(c_out[0])
+        image_f = clip.visual_projection(clip.vision_model(pixel_values=px)[0])
+        sim_tc = torch.einsum("bid,bjd->bji", text_f, condition_f)
+        sim_tc = torch.max(sim_tc, dim=1, keepdim=True)[0]
+        sim_tc = sim_tc / sim_tc.max()
+        mask = torch.where(sim_tc > 0.3, 0.0, float("-inf"))
+        mask = mask.repeat(1, image_f.shape[1], 1)
+        img_feat = cross(image_f, text_f, mask)[:, 0, :]
+        img_feat = img_feat / img_feat.norm(dim=-1, keepdim=True)
+        txt_feat = text_features / text_features.norm(dim=-1, keepdim=True)
+        ref_score = float((clip.logit_scale.exp() * txt_feat @ img_feat.T)[0, 0])
+
+    # ---- ours through the converters + MPScore ----
+    sd = {k: v.numpy() for k, v in clip.state_dict().items()}
+    vis, txt, _ = qt.clip_params_from_hf(sd)
+    # MPScore exponentiates the raw logit_scale (mps.py:96)
+    scale = float(sd["logit_scale"])
+    cparams = qt.cross_model_params_from_torch(
+        {"cross_model." + k: v.numpy() for k, v in cross.state_dict().items()})
+
+    tok_map = {"prompt": ids.numpy(), iq.MPS_CONDITIONS["overall"]: cond_ids.numpy()}
+
+    def text_features_fn(prompt):
+        toks, pooled = qt.clip_text_token_features(txt, tok_map[prompt], 2)
+        return np.asarray(toks), np.asarray(pooled)
+
+    def image_features_fn(_image):
+        return np.asarray(qt.clip_image_token_features(
+            vis, jnp.asarray(px.numpy()), 2))
+
+    def cross_fn(image_f, text_f, m):
+        return qt.cross_model_forward(cparams, image_f, text_f, m)
+
+    scorer = iq.MPScore(text_features_fn, image_features_fn, cross_fn, scale)
+    got = scorer.score("ignored.png", "prompt")[0]
+    assert got == pytest.approx(ref_score, rel=2e-3, abs=2e-4)
