@@ -264,7 +264,9 @@ def test_gradio_demo_core_generator(tmp_path):
     outputs = list(demo.generate_video(
         np.array(img), "a cat\na dog", num_clips=2, num_steps=2, seed=5, num_frames=NF,
     ))
-    assert len(outputs) == 2
+    # one (status, cumulative_path) per clip + the final "done" update
+    # (streaming parity with ref gradio_demo.py:283-373)
+    assert len(outputs) == 3
     status, path = outputs[-1]
     assert os.path.exists(path)
     from svi_tpu.utils.video import load_video_frames
