@@ -28,6 +28,7 @@ recorded in `detail` instead of killing the run.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -326,6 +327,63 @@ def main():
         _log(f"14B bf16-dequant step {fl14_bf16['step_seconds']}s")
     except Exception as ex:  # noqa: BLE001
         fl14_bf16 = {"error": f"{type(ex).__name__}: {ex}"[:200]}
+
+    # --- opt-in: one 14B QLoRA train step (int4 base on the int8 MXU, fp32
+    # rank-128 adapters, sqrt-remat block groups) — the single-chip flagship
+    # training recipe (scripts/train_svi.py --quantize int4
+    # --remat_granularity 0). Gated behind SVI_BENCH_TRAIN14B=1 so the
+    # driver's default bench stays bounded; the measured number is recorded
+    # in ROADMAP.md.
+    if os.environ.get("SVI_BENCH_TRAIN14B"):
+        try:
+            from svi_tpu.schedulers import flow_match as fm
+            from svi_tpu.training import TrainerConfig, lora as lora_mod
+            from svi_tpu.training import trainer as trainer_mod
+
+            # rank 64: rank 128 (the reference's multi-GPU training rank) puts
+            # fp32 adapters+Adam moments at ~6.4GB next to the 8.3GB int4 base
+            # and overflows the 15.75GB chip by 1.4GB (measured); rank-128
+            # training is the data/sequence-parallel multi-chip regime
+            cfg14 = wan_dit.WAN_14B_I2V
+            params14 = wan_dit.init_params_int4(jax.random.PRNGKey(3), cfg14, w4a8=True)
+            jax.block_until_ready(jax.tree.leaves(params14)[0])
+            tc14 = TrainerConfig(lora_rank=64, lora_alpha=64.0)
+            schedule14 = fm.make_schedule(1000, shift=5.0, sigma_min=0.0,
+                                          extra_one_step=True, training=True)
+            trainable14 = {"lora": lora_mod.init_lora_params(
+                jax.random.PRNGKey(4), cfg14, rank=64)}
+            optimizer14 = trainer_mod.make_optimizer(tc14)
+            opt14 = optimizer14.init(trainable14)
+            step14t = trainer_mod.make_train_step(
+                cfg14, schedule14, optimizer14, lora_scale=1.0, use_remat=True,
+                mesh=None, remat_granularity=0,
+            )
+            rng14 = np.random.default_rng(3)
+            fhw = (LT, H // 8, W // 8)
+            batch14 = {
+                "latents": jnp.asarray(rng14.standard_normal((1, 16, *fhw)), jnp.float32),
+                "noise_w_error": jnp.asarray(rng14.standard_normal((1, 16, *fhw)), jnp.float32),
+                "latents_w_error": jnp.asarray(rng14.standard_normal((1, 16, *fhw)), jnp.float32),
+                "timestep": jnp.asarray([500.0], jnp.float32),
+                "timestep_id": jnp.asarray([500], jnp.int32),
+                "context": ctx_pos,
+                "clip_feature": image_emb["clip_feature"][:1],
+                "y": image_emb["y"][:1],
+            }
+            t0 = time.perf_counter()
+            trainable14, opt14, m14 = step14t(trainable14, opt14, params14, batch14)
+            _ = float(m14["loss"])
+            t14t_compile = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            trainable14, opt14, m14 = step14t(trainable14, opt14, params14, batch14)
+            _ = float(m14["loss"])
+            train_detail["train_step_seconds_14B_qlora64_int4"] = round(
+                time.perf_counter() - t0, 3)
+            train_detail["train_step_14B_compile_seconds"] = round(t14t_compile, 1)
+            _log(f"14B qlora train step {train_detail['train_step_seconds_14B_qlora64_int4']}s")
+            del trainable14, opt14, step14t, batch14, params14
+        except Exception as ex:  # noqa: BLE001
+            train_detail["train_step_14B_error"] = f"{type(ex).__name__}: {ex}"[:200]
 
     # --- assemble result: headline = 14B flagship (BASELINE.json metric) ---
     detail = {
