@@ -329,7 +329,7 @@ def main():
         fl14_bf16 = {"error": f"{type(ex).__name__}: {ex}"[:200]}
 
     # --- opt-in: one 14B QLoRA train step (int4 base on the int8 MXU, fp32
-    # rank-128 adapters, sqrt-remat block groups) — the single-chip flagship
+    # rank-64 adapters, sqrt-remat block groups) — the single-chip flagship
     # training recipe (scripts/train_svi.py --quantize int4
     # --remat_granularity 0). Gated behind SVI_BENCH_TRAIN14B=1 so the
     # driver's default bench stays bounded; the measured number is recorded
@@ -371,7 +371,10 @@ def main():
                 "y": image_emb["y"][:1],
             }
             t0 = time.perf_counter()
-            trainable14, opt14, m14 = step14t(trainable14, opt14, params14, batch14)
+            try:
+                trainable14, opt14, m14 = step14t(trainable14, opt14, params14, batch14)
+            except Exception:  # the axon remote-compile helper 500s transiently
+                trainable14, opt14, m14 = step14t(trainable14, opt14, params14, batch14)
             _ = float(m14["loss"])
             t14t_compile = time.perf_counter() - t0
             t0 = time.perf_counter()
@@ -381,9 +384,11 @@ def main():
                 time.perf_counter() - t0, 3)
             train_detail["train_step_14B_compile_seconds"] = round(t14t_compile, 1)
             _log(f"14B qlora train step {train_detail['train_step_seconds_14B_qlora64_int4']}s")
-            del trainable14, opt14, step14t, batch14, params14
         except Exception as ex:  # noqa: BLE001
             train_detail["train_step_14B_error"] = f"{type(ex).__name__}: {ex}"[:200]
+        finally:
+            # drop the ~8.3GB base + adapter/optimizer buffers even on failure
+            trainable14 = opt14 = step14t = batch14 = params14 = None  # noqa: F841
 
     # --- assemble result: headline = 14B flagship (BASELINE.json metric) ---
     detail = {

@@ -190,6 +190,27 @@ def main():
     save_video([pose_frame(t, 144, 256) for t in range(96)],
                os.path.join(d, "dwpose.mp4"), fps=24)
 
+    # legacy preprocessed layout (ref train_svi_dance.py dataset branch):
+    # dicts of per-frame JPEG bytes in frame_data.pkl + dw_pose_*.pkl
+    d = os.path.join(ROOT, "toy_train", "svi-dance", "preprocessed", "00001")
+    os.makedirs(d, exist_ok=True)
+    import io
+
+    from PIL import Image
+
+    def jpeg_bytes(arr):
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=70)
+        return buf.getvalue()
+
+    frame_data = {f"{t:05d}": jpeg_bytes(scene_frame(t, 96, 128, seed=23))
+                  for t in range(24)}
+    dw_pose = {f"{t:05d}": jpeg_bytes(pose_frame(t, 96, 128)) for t in range(24)}
+    with open(os.path.join(d, "frame_data.pkl"), "wb") as f:
+        pickle.dump(frame_data, f)
+    with open(os.path.join(d, "dw_pose_with_foot_wo_face.pkl"), "wb") as f:
+        pickle.dump(dw_pose, f)
+
     d = os.path.join(ROOT, "toy_train", "svi-talk", "00001")
     os.makedirs(d, exist_ok=True)
     save_video([portrait(144, 144, seed=t % 7) for t in range(96)],

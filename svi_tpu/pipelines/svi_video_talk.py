@@ -30,6 +30,11 @@ class SVITalkVideoPipeline(SVIVideoPipeline):
         self.wav2vec = None
         if wav2vec_path is not None:
             self.wav2vec = audio_utils.load_wav2vec(wav2vec_path)
+        # whole-file embedding cache: {audio_path: (s, 12, 768)}. The
+        # reference recomputes the full wav2vec pass every clip
+        # (ref svi_video_talk.py:548, flagged in SURVEY §3.3); caching makes
+        # multi-clip runs embed each file exactly once.
+        self._audio_emb_cache = {}
 
     @staticmethod
     def from_model_manager(model_manager, torch_dtype=None, device=None, use_usp=False,
@@ -46,11 +51,15 @@ class SVITalkVideoPipeline(SVIVideoPipeline):
 
     def get_audio_embedding(self, audio_path, num_frames, audio_start_idx=0):
         """audio file -> per-frame ±2-window embeddings (1, nf, 5, 12, 768)
-        (ref :412-430)."""
-        assert self.wav2vec is not None, "pass wav2vec_path or precomputed audio_embed"
-        fe, model = self.wav2vec
-        speech = audio_utils.load_audio(audio_path)
-        emb = audio_utils.wav2vec_embedding(speech, fe, model)
+        (ref :412-430). The whole-file wav2vec embedding is computed once per
+        path and cached; per-clip calls only re-slice windows."""
+        emb = self._audio_emb_cache.get(audio_path)
+        if emb is None:
+            assert self.wav2vec is not None, "pass wav2vec_path or precomputed audio_embed"
+            fe, model = self.wav2vec
+            speech = audio_utils.load_audio(audio_path)
+            emb = audio_utils.wav2vec_embedding(speech, fe, model)
+            self._audio_emb_cache[audio_path] = emb
         return audio_utils.slice_audio_windows(emb, num_frames, audio_start_idx)
 
     def preprocess_audio(self, audio_embed, audio_window=5, vae_scale=4):

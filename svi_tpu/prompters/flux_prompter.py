@@ -21,10 +21,9 @@ class FluxPrompter:
 
     def encode_prompt(self, te1_params, t5, prompt, t5_sequence_length=512):
         if self.tokenizer is None:
-            from transformers import CLIPTokenizerFast
+            from .clip_tokenizer import ClipBpeTokenizer
 
-            self.tokenizer = CLIPTokenizerFast.from_pretrained(
-                "openai/clip-vit-large-patch14")
+            self.tokenizer = ClipBpeTokenizer()
         ids = jnp.asarray(self.tokenizer(
             prompt, return_tensors="np", padding="max_length", max_length=77,
             truncation=True).input_ids)

@@ -123,10 +123,9 @@ class HunyuanVideoPrompter:
 
     def _ensure_tokenizer_1(self):
         if self.tokenizer_1 is None:
-            from transformers import CLIPTokenizer
+            from .clip_tokenizer import ClipBpeTokenizer
 
-            self.tokenizer_1 = CLIPTokenizer.from_pretrained(
-                "openai/clip-vit-large-patch14")
+            self.tokenizer_1 = ClipBpeTokenizer()
 
     def _ensure_tokenizer_2(self):
         if self.tokenizer_2 is None:

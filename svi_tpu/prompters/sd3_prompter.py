@@ -22,10 +22,9 @@ class SD3Prompter:
 
     def _clip_ids(self, prompt):
         if self.tokenizer is None:
-            from transformers import CLIPTokenizerFast
+            from .clip_tokenizer import ClipBpeTokenizer
 
-            self.tokenizer = CLIPTokenizerFast.from_pretrained(
-                "openai/clip-vit-large-patch14")
+            self.tokenizer = ClipBpeTokenizer()
         return jnp.asarray(self.tokenizer(
             prompt, return_tensors="np", padding="max_length", max_length=77,
             truncation=True).input_ids)

@@ -31,10 +31,13 @@ class SDPrompter(BasePrompter):
 
     def _ensure_tokenizer(self):
         if self.tokenizer is None:
-            from transformers import CLIPTokenizerFast
+            # native vendored-BPE tokenizer: works offline from a clean
+            # checkout (the reference ships diffsynth/tokenizer_configs/
+            # for the same reason); pass a transformers CLIPTokenizer(-Fast)
+            # to the constructor to override.
+            from .clip_tokenizer import ClipBpeTokenizer
 
-            self.tokenizer = CLIPTokenizerFast.from_pretrained(
-                "openai/clip-vit-large-patch14")
+            self.tokenizer = ClipBpeTokenizer()
         return self.tokenizer
 
     def load_textual_inversions(self, model_paths, embedding_dim=768):

@@ -21,13 +21,14 @@ class SDXLPrompter:
         self.tokenizer_2 = tokenizer_2
 
     def _ensure_tokenizers(self):
-        if self.tokenizer is None:
-            from transformers import CLIPTokenizerFast
+        from .clip_tokenizer import ClipBpeTokenizer
 
-            self.tokenizer = CLIPTokenizerFast.from_pretrained(
-                "openai/clip-vit-large-patch14")
+        if self.tokenizer is None:
+            self.tokenizer = ClipBpeTokenizer()
         if self.tokenizer_2 is None:
-            self.tokenizer_2 = self.tokenizer
+            # tokenizer_2 (bigG) pads with "!" (id 0), ref
+            # tokenizer_configs/stable_diffusion_xl/tokenizer_2
+            self.tokenizer_2 = ClipBpeTokenizer(pad_token="!")
 
     def encode_prompt(self, te_params, te2_params, prompt, clip_skip=1,
                       clip_skip_2=2):

@@ -363,16 +363,17 @@ def test_talk_dataset_on_toy_train():
 
 
 def test_dance_dataset_legacy_pkl():
+    """Legacy frame_data.pkl / dw_pose_*.pkl layout (ref train_svi_dance.py
+    dataset branch) from the repo-owned fixture (scripts/make_toy_data.py)."""
     import os
 
-    base = "/root/reference/data/toy_train/svi-dance/preprocessed"
-    if not os.path.isdir(base):
-        return
+    base = os.path.join(os.path.dirname(__file__), "..", "data", "toy_train",
+                        "svi-dance", "preprocessed")
+    assert os.path.isdir(base), "repo toy data missing — run scripts/make_toy_data.py"
     from svi_tpu.training.dataset import DanceVideoDataset
 
     ds = DanceVideoDataset(base, max_num_frames=9, height=64, width=64, seed=0)
-    if len(ds) == 0:
-        return  # toy dir has only pose pkls (no frame_data) — structure check only
+    assert len(ds) >= 1
     item = ds[0]
     assert item["video"].shape == (3, 9, 64, 64)
     assert item["dwpose_data"].shape == (3, 9, 64, 64)

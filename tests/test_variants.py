@@ -224,6 +224,36 @@ def test_talk_pipeline_runs():
     assert len(frames) == 9
 
 
+def test_talk_audio_embedding_cached_per_path(monkeypatch):
+    """Multi-clip runs must embed each audio file ONCE (the reference
+    recomputes the whole-file wav2vec pass per clip, svi_video_talk.py:548 —
+    the inefficiency SURVEY §3.3 flags); per-clip calls only re-slice."""
+    from svi_tpu.pipelines.svi_video_talk import SVITalkVideoPipeline
+    from svi_tpu.utils import audio as audio_utils
+
+    pipe = SVITalkVideoPipeline(torch_dtype=jnp.float32)
+    pipe.wav2vec = (object(), object())  # sentinel (never reached on cache hit)
+    calls = {"n": 0}
+    emb = np.zeros((40, 12, 768), np.float32)
+    emb[:, 0, 0] = np.arange(40)
+
+    monkeypatch.setattr(audio_utils, "load_audio", lambda path: np.zeros(16000))
+    def fake_embed(speech, fe, model):
+        calls["n"] += 1
+        return emb
+    monkeypatch.setattr(audio_utils, "wav2vec_embedding", fake_embed)
+
+    a = pipe.get_audio_embedding("x.wav", num_frames=9, audio_start_idx=0)
+    b = pipe.get_audio_embedding("x.wav", num_frames=9, audio_start_idx=5)
+    assert calls["n"] == 1
+    assert a.shape == (1, 9, 5, 12, 768)
+    # second call really is a different slice of the same cached embedding
+    np.testing.assert_array_equal(
+        b, audio_utils.slice_audio_windows(emb, 9, 5))
+    pipe.get_audio_embedding("y.wav", num_frames=9)
+    assert calls["n"] == 2
+
+
 def test_customtalk_dit_forward_parity():
     """Customtalk variant (wan_video_dit_talk.py): bottleneck FFNs gating
     context/audio attention; add_condition feeds the context gate per block."""
