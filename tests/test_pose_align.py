@@ -119,6 +119,129 @@ def test_pose_from_openpose_foot_centers_and_masking():
     assert pose["faces"].shape == (1, 68, 2)
 
 
+def _jittered_skeleton(rng, **kw):
+    """make_skeleton + per-joint noise so no two limbs are symmetric (the
+    golden comparison must not pass by accident of symmetry)."""
+    pose = make_skeleton(**kw)
+    c = pose["bodies"]["candidate"]
+    c += rng.normal(0, 0.004, c.shape)
+    pose["hands"] = pose["hands"] + rng.normal(0, 0.004, pose["hands"].shape)
+    pose["faces"] = pose["faces"] + rng.normal(0, 0.004, pose["faces"].shape)
+    return pose
+
+
+def _load_ref_align_module():
+    """Import the reference utils/run_align_pose.py with its DWPose/ONNX deps
+    stubbed (the retarget math itself is pure numpy)."""
+    import importlib.util
+    import sys
+    import types
+
+    for name in ("dwpose", "dwpose.util", "dwpose.wholebody"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            if name == "dwpose.wholebody":
+                mod.Wholebody = object
+            sys.modules[name] = mod
+    spec = importlib.util.spec_from_file_location(
+        "ref_run_align_pose", "/root/reference/utils/run_align_pose.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_run_align_pose"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_align_sequence_golden_parity_vs_mp_main(tmp_path):
+    """Run the reference's ACTUAL mp_main retarget loop (run_align_pose.py
+    :243-693) on synthetic skeletons — pose extraction, video IO, and drawing
+    stubbed out — and assert keypoint-level agreement with
+    align_pose_sequence."""
+    import copy
+    import types
+
+    mod = _load_ref_align_module()
+    rng = np.random.default_rng(7)
+    n_frames = 5
+    frames = [_jittered_skeleton(rng, scale=1.0, cx=0.40 + 0.012 * t,
+                                 cy=0.30 + 0.004 * t, arm=0.11)
+              for t in range(n_frames)]
+    ref_pose = _jittered_skeleton(rng, scale=1.35, cx=0.55, cy=0.36,
+                                  arm=0.13, leg=0.12, torso=0.25)
+
+    # --- drive the reference: DWposeDetector yields our synthetic poses ----
+    queue = [copy.deepcopy(p) for p in frames] + [copy.deepcopy(ref_pose)]
+
+    class FakeDetector:
+        def __init__(self):
+            pass
+
+        def __call__(self, frame):
+            return queue.pop(0)
+
+    class FakeCapture:
+        def __init__(self, path):
+            self.left = n_frames
+
+        def isOpened(self):
+            return True
+
+        def read(self):
+            if self.left > 0:
+                self.left -= 1
+                return True, np.zeros((4, 4, 3), np.uint8)
+            return False, None
+
+        def release(self):
+            pass
+
+    drawn = []
+
+    def fake_draw_pose(pose, H, W):
+        drawn.append(copy.deepcopy(pose))
+        return np.zeros((H, W, 3), np.uint8), np.zeros((H, W, 3), np.uint8)
+
+    mod.DWposeDetector = FakeDetector
+    mod.draw_pose = fake_draw_pose
+    mod.cv2 = types.SimpleNamespace(
+        VideoCapture=FakeCapture, IMREAD_COLOR=1,
+        imread=lambda *a, **k: np.zeros((4, 4, 3), np.uint8),
+        imwrite=lambda *a, **k: True)
+    args = types.SimpleNamespace(
+        source_video_paths=str(tmp_path / "drive.mp4"),
+        ref_name=str(tmp_path / "ref.png"),
+        saved_pose_dir=str(tmp_path / "out"))
+    mod.mp_main(args)
+    # draw order: pose_ref preview, then the N aligned frames, then pose_ref
+    ref_aligned = drawn[1:1 + n_frames]
+    assert len(drawn) == n_frames + 2
+
+    # --- ours ---------------------------------------------------------------
+    ours = align_pose_sequence(frames, ref_pose)
+    for t in range(n_frames):
+        np.testing.assert_allclose(
+            ours[t]["bodies"]["candidate"],
+            ref_aligned[t]["bodies"]["candidate"], atol=1e-12,
+            err_msg=f"frame {t} body keypoints diverge from mp_main")
+        np.testing.assert_allclose(ours[t]["hands"], ref_aligned[t]["hands"],
+                                   atol=1e-12)
+        np.testing.assert_allclose(ours[t]["faces"], ref_aligned[t]["faces"],
+                                   atol=1e-12)
+
+
+def test_one_euro_filter_golden_parity():
+    """Our OneEuroFilter vs the reference's (run_align_pose.py:36-78) on the
+    same noisy trajectory."""
+    mod = _load_ref_align_module()
+    rng = np.random.default_rng(3)
+    xs = np.sin(np.linspace(0, 5, 60)) + rng.normal(0, 0.15, 60)
+    theirs = mod.OneEuroFilter(0.0, xs[0], min_cutoff=0.7, beta=0.02)
+    ours = OneEuroFilter(0.0, xs[0], min_cutoff=0.7, beta=0.02)
+    for t in range(1, 60):
+        a = theirs(t * 0.04, xs[t])
+        b = ours(t * 0.04, xs[t])
+        np.testing.assert_allclose(b, a, atol=1e-12)
+
+
 def test_one_euro_filter_smooths():
     rng = np.random.default_rng(1)
     clean = np.sin(np.linspace(0, 4, 100))

@@ -84,11 +84,13 @@ def test_sdxl_motion_lets_dance_xl_parity(shared_unet):
 
     hooks = mo.motion_hooks(mm_params, call_map=mo.SDXL_MOTION_CALL_MAP,
                             batch_size=1)
+    # torch .repeat(n) TILES a flat vector; np.repeat interleaves — the
+    # (B*6,) micro-conditioning ids must be tiled to match the reference
     ours = np.asarray(sdxl_models.sdxl_unet_forward(
         unet_params, jnp.asarray(sample.numpy()),
         jnp.asarray(timestep.numpy()),
         jnp.asarray(text.numpy().repeat(frames, 0)),
-        jnp.asarray(add_time_id.numpy().repeat(frames)),
+        jnp.asarray(np.tile(add_time_id.numpy(), frames)),
         jnp.asarray(pooled.numpy().repeat(frames, 0)), motion=hooks))
     err = np.abs(ours - ref64.astype(np.float32)).max()
     assert err <= 3 * noise_floor + 1e-6, (err, noise_floor)
