@@ -61,29 +61,15 @@ def _get_pairs(word):
     return pairs
 
 
-def _is_cjk(cp: int) -> bool:
-    return (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
-            or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
-            or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
-            or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F)
-
-
 def _basic_clean(text: str) -> str:
-    """transformers BasicTokenizer(strip_accents=False, do_split_on_punc=
-    False) pass: drop control chars, space out CJK, NFC, lowercase,
-    whitespace-normalize."""
-    out = []
-    for ch in text:
-        cp = ord(ch)
-        if cp == 0 or cp == 0xFFFD or unicodedata.category(ch).startswith("C") \
-                and ch not in ("\t", "\n", "\r"):
-            continue
-        if _is_cjk(cp):
-            out.append(f" {ch} ")
-        else:
-            out.append(ch)
-    text = unicodedata.normalize("NFC", "".join(out))
-    return " ".join(text.lower().split())
+    """transformers CLIPTokenizer's ftfy path (`whitespace_clean(
+    fix_text(text)).lower()`, tokenization_clip.py:459-466) — the reference
+    env ships ftfy, whose fix_text on well-formed text reduces to NFC
+    normalization. (Without ftfy transformers falls back to BasicTokenizer,
+    which additionally spaces out CJK chars; the ftfy path is the canonical
+    one and what the golden test pins.)"""
+    text = unicodedata.normalize("NFC", text)
+    return " ".join(text.split()).lower()
 
 
 class ClipBpeTokenizer:

@@ -22,12 +22,19 @@ PROMPTS = [
 
 @pytest.fixture(scope="module")
 def hf_tok():
+    import unicodedata
+
     from transformers import CLIPTokenizer
 
-    return CLIPTokenizer(
+    tok = CLIPTokenizer(
         vocab_file=f"{REF_TOK_DIR}/vocab.json",
         merges_file=f"{REF_TOK_DIR}/merges.txt",
     )
+    # pin the canonical ftfy cleaning path (the reference env installs ftfy;
+    # fix_text on well-formed text == NFC). Without this the golden depends
+    # on whether reference_loader's ftfy stub was registered first.
+    tok.fix_text = lambda s: unicodedata.normalize("NFC", s)
+    return tok
 
 
 @pytest.fixture(scope="module")
