@@ -34,10 +34,18 @@ from . import clip_vision, t5, wan_dit, wan_vae
 # ---------------------------------------------------------------------------
 
 
-def _torch_to_numpy(t):
+def _torch_to_numpy(t, bf16_as: str = "float32"):
     if hasattr(t, "detach"):
         t = t.detach().to("cpu")
         if str(t.dtype) == "torch.bfloat16":
+            if bf16_as == "bf16":
+                # zero-copy reinterpret: halves host staging RAM for bf16
+                # checkpoints (a real 14B shard set is ~33GB bf16 vs ~66GB
+                # if upcast to f32) — used by the quantize-on-load DiT path
+                import ml_dtypes
+                import torch
+
+                return t.view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
             t = t.float()
         elif str(t.dtype).startswith("torch.float8"):
             t = t.float()
@@ -45,9 +53,14 @@ def _torch_to_numpy(t):
     return np.asarray(t)
 
 
-def load_state_dict(path: str) -> dict:
+def load_state_dict(path: str, bf16_as: str = "float32") -> dict:
     """Load one checkpoint file into {name: numpy array} (ref utils.py
-    load_state_dict_from_safetensors / load_state_dict_from_bin)."""
+    load_state_dict_from_safetensors / load_state_dict_from_bin).
+
+    bf16_as="bf16" keeps torch-bf16 tensors as ml_dtypes.bfloat16 numpy
+    views instead of upcasting to float32 — safe only for consumers that do
+    no numpy arithmetic on the values (the wan_dit converter: transpose /
+    reshape / jnp.asarray)."""
     if path.endswith(".safetensors"):
         from safetensors import safe_open
 
@@ -64,7 +77,7 @@ def load_state_dict(path: str) -> dict:
             with safe_open(path, framework="pt") as f:
                 for k in list(out.keys()):
                     if out[k] is None:
-                        out[k] = _torch_to_numpy(f.get_tensor(k))
+                        out[k] = _torch_to_numpy(f.get_tensor(k), bf16_as)
         return out
     import torch
 
@@ -73,10 +86,10 @@ def load_state_dict(path: str) -> dict:
         sd = sd["state_dict"]
     if "model_state" in sd:
         sd = sd["model_state"]
-    return {k: _torch_to_numpy(v) for k, v in sd.items() if hasattr(v, "shape")}
+    return {k: _torch_to_numpy(v, bf16_as) for k, v in sd.items() if hasattr(v, "shape")}
 
 
-def load_state_dicts(paths) -> dict:
+def load_state_dicts(paths, bf16_as: str = "float32") -> dict:
     """Merge one file, a shard list, or a directory of shards."""
     if isinstance(paths, str):
         if os.path.isdir(paths):
@@ -89,7 +102,7 @@ def load_state_dicts(paths) -> dict:
             paths = [paths]
     out = {}
     for p in paths:
-        out.update(load_state_dict(p))
+        out.update(load_state_dict(p, bf16_as))
     return out
 
 
@@ -203,9 +216,15 @@ def fuse_lora_into_dit_params(params: dict, lora_sd: dict, alpha: float = 1.0) -
     """W += α·B@A fused into (possibly stacked) DiT params (ref lora.py
     :246-267). Our weights are stored transposed (in, out), so the delta is
     α·(B@A)^T = α·Aᵀ@Bᵀ. Returns (new_params, n_updated). Raises KeyError on
-    any unmatched target (mirrors the reference's hard failure)."""
+    any unmatched target (mirrors the reference's hard failure).
+
+    Per-layer updates to one stacked leaf are GROUPED into a single
+    scatter-add: a 14B LoRA touches q/k/v/o across 40 stacked layers, and
+    one .at[layer].add per target would copy the full ~2GB stacked leaf 160
+    times during a real-checkpoint load."""
     name_map = lora_name_map(lora_sd)
     n = 0
+    grouped: dict[tuple, list] = {}  # path -> [(layer, delta)]
     for target, (up_key, down_key) in name_map.items():
         up = np.asarray(lora_sd[up_key], np.float32)    # B: (out, r)
         down = np.asarray(lora_sd[down_key], np.float32)  # A: (r, in)
@@ -213,20 +232,24 @@ def fuse_lora_into_dit_params(params: dict, lora_sd: dict, alpha: float = 1.0) -
             up, down = up[..., 0, 0], down[..., 0, 0]
         delta = alpha * (up @ down)  # (out, in)
         path, layer = _pytree_path_for_torch_name(target)
+        if path[-1] == "w" and "patch_embedding" not in path:
+            delta = delta.T  # our linears are (in, out)
+        grouped.setdefault(path, []).append((layer, delta))
+        n += 1
+    for path, updates in grouped.items():
         node = params
         for p in path[:-1]:
             node = node[p]
         leaf = node[path[-1]]
-        if path[-1] == "w" and "patch_embedding" not in path:
-            d = delta.T  # our linears are (in, out)
+        layers = [la for la, _ in updates]
+        if layers[0] is not None and leaf.ndim == updates[0][1].ndim + 1:
+            idx = jnp.asarray(layers, jnp.int32)
+            ds = jnp.asarray(np.stack([d for _, d in updates]), leaf.dtype)
+            node[path[-1]] = leaf.at[idx].add(ds)
         else:
-            d = delta
-        d = jnp.asarray(d, leaf.dtype)
-        if layer is not None and leaf.ndim == d.ndim + 1:
-            node[path[-1]] = leaf.at[layer].add(d)
-        else:
-            node[path[-1]] = leaf + d
-        n += 1
+            for _, d in updates:
+                leaf = leaf + jnp.asarray(d, leaf.dtype)
+            node[path[-1]] = leaf
     return params, n
 
 
@@ -327,8 +350,21 @@ class ModelManager:
     # -- loading ------------------------------------------------------------
 
     def load_model(self, paths, model_names=None, torch_dtype=None):
-        sd = load_state_dicts(paths)
+        # when the DiT will be host-staged for quantize-on-load, keep bf16
+        # shards as bf16 numpy (halves peak host RAM for a real 14B load);
+        # the wan_dit converter only transposes/reshapes, never does numpy
+        # math, so the narrow staging dtype is value-exact
+        sd = load_state_dicts(
+            paths, bf16_as="bf16" if self.quantize_dit else "float32")
         kind = detect_model_kind(sd)
+        if self.quantize_dit and kind != "wan_video_dit":
+            # only the wan_dit converter is audited for bf16-numpy staging;
+            # other converters may do numpy arithmetic — give them f32
+            import ml_dtypes
+
+            sd = {k: (np.asarray(v, np.float32)
+                      if getattr(v, "dtype", None) == ml_dtypes.bfloat16 else v)
+                  for k, v in sd.items()}
         if kind is None:
             raise ValueError(
                 f"Cannot identify model from {paths}; key hash "
@@ -379,7 +415,14 @@ class ModelManager:
         if "wan_video_dit" not in self.models:
             raise RuntimeError("load the DiT before LoRA")
         params, cfg = self.models["wan_video_dit"]
-        params, n = fuse_lora_into_dit_params(params, sd, alpha=lora_alpha)
+        if self.quantize_dit and not self._dit_quantized:
+            # DiT is host-staged pre-quantization: fuse on the host CPU so
+            # the ~28GB bf16 tree never touches the chip
+            cpu = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu):
+                params, n = fuse_lora_into_dit_params(params, sd, alpha=lora_alpha)
+        else:
+            params, n = fuse_lora_into_dit_params(params, sd, alpha=lora_alpha)
         if n == 0:
             raise RuntimeError(f"Cannot load LoRA from {file_path}: no matching tensors")
         self.models["wan_video_dit"] = (params, cfg)

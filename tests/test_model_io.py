@@ -187,6 +187,51 @@ def test_model_manager_quantize_dit_on_fetch(tmp_path):
     assert err < 0.12, f"int4 forward drift {err}"
 
 
+def test_model_manager_bf16_sharded_load(tmp_path):
+    """The real-checkpoint day-1 path (scripts/rehearse_14b_load.py): bf16
+    safetensors SHARDS are staged as bf16 numpy (ml_dtypes view, half the
+    host RAM of an f32 upcast), merged across shards, LoRA-fused on host
+    with the grouped scatter-add, then quantized on fetch — value-exact vs
+    the f32-staged single-file route on the same bf16 weights."""
+    from safetensors.torch import save_file
+
+    big = dict(TINY, dim=256, ffn_dim=512, num_heads=4)  # >= int4 min_size
+    torch.manual_seed(7)
+    tm = ref_dit.WanModel(has_image_input=False, **big).eval()
+    sd_bf16 = {k: v.to(torch.bfloat16) for k, v in tm.state_dict().items()}
+    items = sorted(sd_bf16)
+    half = len(items) // 2
+    p1, p2 = str(tmp_path / "shard1.safetensors"), str(tmp_path / "shard2.safetensors")
+    save_file({k: sd_bf16[k] for k in items[:half]}, p1)
+    save_file({k: sd_bf16[k] for k in items[half:]}, p2)
+    lora_sd = make_peft_lora(tm, seed=8)
+    lora_path = str(tmp_path / "lora.safetensors")
+    save_file(dict(lora_sd), lora_path)
+
+    mm = model_io.ModelManager(torch_dtype=jnp.float32, quantize_dit="int4_w4a8")
+    mm.load_model([p1, p2])  # one model from two shards
+    mm.load_lora_v2(lora_path, lora_alpha=1.0)
+    qparams, qcfg = mm.fetch_model("wan_video_dit")
+    assert qcfg.num_layers == TINY["num_layers"]
+
+    # reference route: same bf16 values staged through f32
+    cfg = wan_dit.WanDiTConfig(
+        dtype=jnp.float32, **{k: v for k, v in big.items() if k != "eps"})
+    want = wan_dit.params_from_torch_state_dict(
+        {k: v.float() for k, v in sd_bf16.items()}, cfg)
+    want, _ = model_io.fuse_lora_into_dit_params(
+        want, {k: v.numpy() for k, v in lora_sd.items()}, alpha=1.0)
+    want = wan_dit.quantize_params_for_inference(dict(want), "int4_w4a8")
+    import jax
+
+    key_fn = lambda kv: str(kv[0])
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(qparams), key=key_fn),
+            sorted(jax.tree_util.tree_leaves_with_path(want), key=key_fn)):
+        assert str(ka) == str(kb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(ka))
+
+
 def test_model_manager_quantize_rejects_unknown_mode():
     with pytest.raises(ValueError):
         model_io.ModelManager(quantize_dit="fp8")
