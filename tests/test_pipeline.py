@@ -274,6 +274,65 @@ def test_gradio_demo_core_generator(tmp_path):
     assert len(load_video_frames(path)) == NF + NF - 1  # shot mode: 1 motion frame
 
 
+def test_gradio_demo_mode_switch_and_preview_wrapper(tmp_path):
+    """UI-free mode management + the preview wrapper (ref gradio_demo.py
+    switch_model_mode :57-75, generate_video_with_preview :882-1010):
+    switching invalidates the pipeline, demo content follows the mode, and
+    the wrapper validates inputs then streams (path, status_html) pairs."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import gradio_demo as gd
+
+    demo = gd.SVIGradioDemo(dit_root="unused", output_dir=str(tmp_path), mode="film")
+    demo.pipe = object()  # pretend initialized
+    msg = demo.switch_model_mode("shot")
+    assert "SVI-Shot" in msg and demo.mode == "shot"
+    assert demo.pipe is None  # switch must force re-init (different LoRA)
+    assert "nope" in demo.switch_model_mode("nope")
+
+    # demo content resolves from the repo-owned toy assets (repo root cwd)
+    old = os.getcwd()
+    os.chdir(os.path.join(os.path.dirname(__file__), ".."))
+    try:
+        img, prompts = demo.get_demo_content_for_mode("film")
+        assert img is not None and prompts
+    finally:
+        os.chdir(old)
+
+    # wrapper validation: uninitialized / no image / no prompts
+    demo.pipe = None
+    out = list(demo.generate_video_with_preview(None, "x", "", 1, 1, 5.0, 0))
+    assert out[0][0] is None and "Initialize" in out[0][1]
+    demo.pipe = object()
+    out = list(demo.generate_video_with_preview(None, "x", "", 1, 1, 5.0, 0))
+    assert "image" in out[0][1]
+    out = list(demo.generate_video_with_preview(np.zeros((8, 8, 3), np.uint8),
+                                                "  ", "", 1, 1, 5.0, 0))
+    assert "prompt" in out[0][1]
+
+    # streaming: wrapper passes through per-clip updates from the core
+    pipe = tiny_pipeline()
+
+    class _CtxPipe:
+        def __call__(self, *a, **kw):
+            kw.pop("prompt", None)
+            kw.pop("negative_prompt", None)
+            kw["prompt_emb_posi"] = CTX
+            kw["prompt_emb_nega"] = CTX * 0.5
+            return pipe(*a, **kw)
+
+    demo.pipe = _CtxPipe()
+    outs = list(demo.generate_video_with_preview(
+        np.array(rand_image(3)), "a cat", NEG_STR := "bad", 1, 2, 5.0, -1))
+    # starting status + 1 clip + final "done"
+    assert len(outs) == 3
+    assert outs[0][0] is None and "Starting" in outs[0][1]
+    assert outs[1][0] and os.path.exists(outs[1][0])
+    assert "done" in outs[-1][1]
+
+
 def test_use_first_aug_changes_vae_condition_only():
     """use_first_aug (ref base.py:30-42) is real: the augmented path changes
     the VAE condition pixels; the default path is bit-identical across calls;
