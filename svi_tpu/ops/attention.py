@@ -74,7 +74,7 @@ def _rope_in_kernel(x, cosE, sinE, head_dim):
 def _fwd_kernel_flat(
     kv_len_ref, q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     o_ref, lse_ref, m_scr, l_scr, acc_scr,
-    *, scale, block_k, masked, fuse_rope, head_dim,
+    *, scale, block_k, masked, fuse_rope, head_dim, nsub,
 ):
     j = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -91,58 +91,73 @@ def _fwd_kernel_flat(
         k = _rope_in_kernel(k, ck_ref[:], sk_ref[:], head_dim)
     # exp2 softmax: fold log2(e) into the scale, use the VPU's native exp2
     q = q * (scale * _LOG2E)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (bq, bk)
-
-    m_prev = m_scr[:, :1]  # (bq, 1)
-    l_prev = l_scr[:, :1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
     if masked:
-        # Mask padded keys by folding a (1, bk) row penalty INTO the exp input
-        # (fuses with the m subtraction — no extra VPU pass; 11% faster than a
-        # separate add/select at 32k tokens, bit-identical output). The max is
-        # taken over UNMASKED s, which is a valid upper bound: it cancels in
-        # out = acc/l, and lse = m + log(l) is m-independent too.
         kv_len = kv_len_ref[0]
-        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
-        penalty = jnp.where(col < kv_len, 0.0, _NEG_INF).astype(jnp.float32)
-        p = jnp.exp2(s - m_new + penalty)
-    else:
-        p = jnp.exp2(s - m_new)
-    alpha = jnp.exp2(m_prev - m_new)
-    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
-    pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # DECOUPLED SUB-BLOCKS (measured +13% at the SVI 14B shape, 150->170
+    # TF/s of the 194.5 TF/s matmul-only roof for this blocking): the k
+    # block is processed as `nsub` independent online-softmax steps whose QK
+    # matmuls are ALL issued before any softmax math, and whose exp2 for
+    # sub-block t depends only on s_t — so the VPU's softmax of sub-block t
+    # overlaps the MXU computing s_{t+1} / pv_{t-1}. A COUPLED split (one
+    # max over the whole block) measures ~14% slower because exp2 of the
+    # first half then waits on the last half's matmul.
+    h = block_k // nsub
+    ss = [
+        jax.lax.dot_general(q, k[t * h:(t + 1) * h], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        for t in range(nsub)
+    ]
 
-    @pl.when(j == 0)
-    def _():
-        acc_scr[:] = pv
-
-    @pl.when(j > 0)
-    def _():
-        acc_scr[:] = acc_scr[:] * alpha + pv
-
-    m_scr[:, :1] = m_new
-    l_scr[:, :1] = l_new
+    first = j == 0
+    m = m_scr[:, :1]  # (bq, 1)
+    l = l_scr[:, :1]
+    acc = acc_scr[:]
+    for t in range(nsub):
+        m_t = jnp.maximum(m, jnp.max(ss[t], axis=-1, keepdims=True))
+        if masked:
+            # Mask padded keys by folding a (1, h) row penalty INTO the exp
+            # input (fuses with the m subtraction — no extra VPU pass,
+            # bit-identical output). The max is taken over UNMASKED s, which
+            # is a valid upper bound: it cancels in out = acc/l, and
+            # lse = m + log(l) is m-independent too.
+            col = (j * block_k + t * h
+                   + jax.lax.broadcasted_iota(jnp.int32, (1, h), 1))
+            penalty = jnp.where(col < kv_len, 0.0, _NEG_INF).astype(jnp.float32)
+            p_t = jnp.exp2(ss[t] - m_t + penalty)
+        else:
+            p_t = jnp.exp2(ss[t] - m_t)
+        alpha_t = jnp.exp2(m - m_t)
+        l = alpha_t * l + jnp.sum(p_t, axis=-1, keepdims=True)
+        pv_t = jax.lax.dot_general(
+            p_t.astype(v_ref.dtype), v_ref[0, t * h:(t + 1) * h],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        if t == 0:
+            # scr is uninitialized at j == 0; the where discards it exactly
+            acc = jnp.where(first, 0.0, acc * alpha_t) + pv_t
+        else:
+            acc = acc * alpha_t + pv_t
+        m = m_t
+    acc_scr[:] = acc
+    m_scr[:, :1] = m
+    l_scr[:, :1] = l
 
     @pl.when(j == nk - 1)
     def _():
-        l = l_scr[:, :1]
-        o_ref[0] = (acc_scr[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        lf = l_scr[:, :1]
+        o_ref[0] = (acc_scr[:] / jnp.maximum(lf, 1e-30)).astype(o_ref.dtype)
         # lse in base-e for the XLA backward: m/log2e + log(l)
-        lse_ref[0, 0] = m_scr[:, :1] / _LOG2E + jnp.log(jnp.maximum(l, 1e-30))
+        lse_ref[0, 0] = m_scr[:, :1] / _LOG2E + jnp.log(jnp.maximum(lf, 1e-30))
 
 
 def _flash_fwd_pallas_flat(
-    q, k, v, cosE, sinE, kv_len, scale, block_q, block_k, head_dim, fuse_rope
+    q, k, v, cosE, sinE, kv_len, scale, block_q, block_k, head_dim, fuse_rope,
+    nsub=1,
 ):
     """q,k,v: (B, S, N*D) flat, padded to block multiples. cosE/sinE:
     pair-expanded (S_pad, head_dim) f32 tables (ignored unless fuse_rope).
+    nsub: decoupled sub-block count (see _fwd_kernel_flat).
     Returns (out flat, lse (B, N, Sq, 1))."""
     b, sq, nd = q.shape
     sk = k.shape[1]
@@ -163,7 +178,7 @@ def _flash_fwd_pallas_flat(
     out, lse = pl.pallas_call(
         functools.partial(
             _fwd_kernel_flat, scale=scale, block_k=block_k, masked=masked,
-            fuse_rope=fuse_rope, head_dim=head_dim,
+            fuse_rope=fuse_rope, head_dim=head_dim, nsub=nsub,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -193,10 +208,10 @@ def _flash_fwd_pallas_flat(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-            # blocks + f32 rope tables + double buffering peak at ~17.3MB,
-            # just over the 16MB default scoped-vmem budget under AD graphs;
-            # the v5e has 128MB of physical VMEM
-            vmem_limit_bytes=48 * 1024 * 1024,
+            # blocks + f32 rope tables + double buffering + the (bq, bk) f32
+            # score tiles of the sub-block pipeline peak well over the 16MB
+            # default scoped-vmem budget; the v5e has 128MB of physical VMEM
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
     )(kv_len_arr, q, k, v, cosE, sinE, cosE, sinE)
     return out, lse[..., 0]
@@ -577,9 +592,10 @@ def _flash_bwd_xla(q, k, v, out, lse, g, kv_len, scale, block_k):
 
 
 def _choose_blocks(sq: int, sk: int, d: int):
-    """Empirically tuned on TPU v5e at 32k tokens / head_dim 128 (bq=1024,
-    bk=2048 ≈ 145 TFLOPS with exp2); larger head dims (e.g. the VAE's single
-    384-wide head, f32) scale blocks down to stay inside the VMEM budget."""
+    """Block sizes for the legacy (B,N,S,D) kernel and the XLA fallback
+    (bq=1024, bk=2048 tuned on TPU v5e at 32k tokens / head_dim 128); larger
+    head dims (e.g. the VAE's single 384-wide head, f32) scale blocks down
+    to stay inside the VMEM budget."""
     if d <= 128:
         bq_max, bk_max = 1024, 2048
     elif d <= 256:
@@ -589,6 +605,24 @@ def _choose_blocks(sq: int, sk: int, d: int):
     block_q = bq_max if sq >= bq_max else _ceil_to(max(sq, 8), 128)
     block_k = bk_max if sk >= bk_max else _ceil_to(max(sk, 128), 128)
     return block_q, block_k
+
+
+def _choose_blocks_flat(sq: int, sk: int, d: int):
+    """(block_q, block_k, nsub) for the flat forward kernel. Tuned on TPU
+    v5e at the SVI 14B shape (n40 s32760 d128), dispatch-amortized chained
+    timing: bq=2048/bk=4096 with 2 decoupled sub-blocks = 169.8 TF/s vs
+    150.3 for bq=1024/bk=2048/nsub=1 (matmul-only roof at this blocking:
+    194.5; hardware peak 197). nsub>1 needs 128-lane-aligned sub-blocks."""
+    if d <= 128:
+        bq_max, bk_max = 2048, 4096
+    elif d <= 256:
+        bq_max, bk_max = 512, 1024
+    else:
+        bq_max, bk_max = 256, 512
+    block_q = bq_max if sq >= bq_max else _ceil_to(max(sq, 8), 128)
+    block_k = bk_max if sk >= bk_max else _ceil_to(max(sk, 128), 128)
+    nsub = 2 if (block_k % 256 == 0 and block_k >= 512) else 1
+    return block_q, block_k, nsub
 
 
 def _apply_rope_xla(x4, cos, sin, inverse=False):
@@ -620,7 +654,7 @@ def _flash_core_flat_fwd(q, k, v, cos, sin, kv_len, scale, use_pallas, use_rope,
     b, sq, nd = q.shape
     sk = k.shape[1]
     n = nd // head_dim
-    block_q, block_k = _choose_blocks(sq, sk, head_dim)
+    block_q, block_k, nsub = _choose_blocks_flat(sq, sk, head_dim)
     sq_p, sk_p = _ceil_to(sq, block_q), _ceil_to(sk, block_k)
 
     # the flat layout addresses each head as a lane block, which mosaic
@@ -628,6 +662,8 @@ def _flash_core_flat_fwd(q, k, v, cos, sin, kv_len, scale, use_pallas, use_rope,
     # like CLIP's 80 route through the legacy (B,N,S,D) kernel instead
     flat_ok = head_dim % 128 == 0 or n == 1
     if use_pallas and not flat_ok:
+        block_q, block_k = _choose_blocks(sq, sk, head_dim)
+        sq_p, sk_p = _ceil_to(sq, block_q), _ceil_to(sk, block_k)
         q4 = q.reshape(b, sq, n, head_dim)
         k4 = k.reshape(b, sk, n, head_dim)
         v4 = v.reshape(b, sk, n, head_dim)
@@ -656,11 +692,17 @@ def _flash_core_flat_fwd(q, k, v, cos, sin, kv_len, scale, use_pallas, use_rope,
         else:
             cosE = sinE = jnp.zeros((8, head_dim), jnp.float32)
         out, lse = _flash_fwd_pallas_flat(
-            qp, kp, vp, cosE, sinE, kv_len, scale, block_q, block_k, head_dim, use_rope
+            qp, kp, vp, cosE, sinE, kv_len, scale, block_q, block_k, head_dim,
+            use_rope, nsub=nsub,
         )
         out = out[:, :sq]
         lse = lse[:, :, :sq]
     else:
+        # XLA fallback: keep the smaller legacy block_k — its scan body
+        # materializes a (B, N, Sq, block_k) f32 score tile, so the flat
+        # kernel's larger blocks would double that allocation
+        _, block_k = _choose_blocks(sq, sk, head_dim)
+        sk_p = _ceil_to(sk, block_k)
         q4 = q.reshape(b, sq, n, head_dim)
         k4 = k.reshape(b, sk, n, head_dim)
         v4 = v.reshape(b, sk, n, head_dim)
