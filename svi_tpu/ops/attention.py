@@ -373,11 +373,14 @@ def _bwd_dq_kernel_flat(
     lse = lse_ref[0, 0]  # (1, bq)
     delta = delta_ref[0, 0]  # (1, bq)
 
+    # both matmuls issued before the exp2: dp_t does not depend on s_t, so
+    # the VPU's exp2/ds math overlaps the MXU computing dp_t (same
+    # scheduling pattern as the forward's decoupled sub-blocks)
     s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32) * scale
-    p_t = jnp.exp2((s_t - lse) * _LOG2E)
     dp_t = jax.lax.dot_general(v_ref[0].astype(jnp.float32), g, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
+    p_t = jnp.exp2((s_t - lse) * _LOG2E)
     ds_t = p_t * (dp_t - delta)
     acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
         ds_t, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -413,11 +416,12 @@ def _bwd_dkv_kernel_flat(
     lse = lse_ref[0, 0]  # (1, bq) — see the dq kernel's layout note
     delta = delta_ref[0, 0]  # (1, bq)
 
+    # dp_t issued before the exp2 — see the dq kernel's scheduling note
     s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32) * scale  # (bk, bq)
-    p_t = jnp.exp2((s_t - lse) * _LOG2E)
     dp_t = jax.lax.dot_general(v_ref[0].astype(jnp.float32), g, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
+    p_t = jnp.exp2((s_t - lse) * _LOG2E)
     ds_t = p_t * (dp_t - delta)
     dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
         ds_t, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32

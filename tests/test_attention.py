@@ -97,3 +97,80 @@ def test_pallas_kernel_interpret_mode():
     np.testing.assert_allclose(
         np.asarray(jnp.swapaxes(out, 1, 2)), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
+
+
+def test_flat_kernel_interpret_mode_nsub_masked_rope():
+    """The production flat kernel (decoupled nsub=2 sub-block pipeline) in
+    interpreter mode: masked tail + fused RoPE vs a rotated dense reference."""
+    from jax.experimental.pallas import tpu as pltpu
+    from svi_tpu.ops import attention as attn_mod
+    from svi_tpu.ops.rope import apply_rope, rope_angles_for_grid
+
+    rng = np.random.default_rng(6)
+    b, s, n, d = 1, 448, 2, 128  # pads to 512 -> masked; nsub sub-blocks of 128
+    q, k, v = rand_qkv(rng, b, s, s, n, d)
+    cos, sin = rope_angles_for_grid((7, 8, 8), d)  # 448 tokens
+    ref = dense_reference(apply_rope(q, cos, sin), apply_rope(k, cos, sin), v)
+
+    qf = q.reshape(b, s, n * d)
+    kf = k.reshape(b, s, n * d)
+    vf = v.reshape(b, s, n * d)
+    block_q, block_k, nsub = 256, 256, 2
+    pad = 512 - s
+    qp = jnp.pad(qf, ((0, 0), (0, pad), (0, 0)))
+    kp = jnp.pad(kf, ((0, 0), (0, pad), (0, 0)))
+    vp = jnp.pad(vf, ((0, 0), (0, pad), (0, 0)))
+    cosE, sinE = attn_mod._expand_rope_tables(cos, sin, d, 512)
+    with pltpu.force_tpu_interpret_mode():
+        out, lse = attn_mod._flash_fwd_pallas_flat(
+            qp, kp, vp, cosE, sinE, s, d ** -0.5, block_q, block_k, d,
+            fuse_rope=True, nsub=nsub,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out[:, :s].reshape(b, s, n, d)), np.asarray(ref),
+        rtol=2e-5, atol=2e-5,
+    )
+    # lse parity against log-sum-exp of the rotated logits
+    qr = apply_rope(q, cos, sin).astype(jnp.float32)
+    kr = apply_rope(k, cos, sin).astype(jnp.float32)
+    logits = jnp.einsum("bqnd,bknd->bnqk", qr, kr) * (d ** -0.5)
+    lse_ref = jax.scipy.special.logsumexp(logits, axis=-1)
+    np.testing.assert_allclose(np.asarray(lse[:, :, :s]), np.asarray(lse_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flat_bwd_kernels_interpret_mode():
+    """The Pallas backward kernels (dq + dkv) in interpreter mode vs
+    jax.grad of the dense reference (no padding: kv_len == sk)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from svi_tpu.ops import attention as attn_mod
+
+    rng = np.random.default_rng(7)
+    b, s, n, d = 1, 256, 2, 128
+    q, k, v = rand_qkv(rng, b, s, s, n, d)
+    g4 = jnp.asarray(rng.standard_normal((b, s, n, d)), jnp.float32)
+    scale = d ** -0.5
+
+    def loss(q_, k_, v_):
+        return jnp.sum(dense_reference(q_, k_, v_) * g4)
+
+    dq_ref, dk_ref, dv_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    qf, kf, vf, gf = (t.reshape(b, s, n * d) for t in (q, k, v, g4))
+    out = dense_reference(q, k, v)
+    logits = jnp.einsum(
+        "bqnd,bknd->bnqk", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)  # (b, n, s)
+    delta = jnp.einsum("bsnd,bsnd->bns", g4, out)
+    cosE = sinE = jnp.zeros((8, d), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        dq, dk, dv = attn_mod._flash_bwd_pallas_flat(
+            qf, kf, vf, gf, lse[:, :, None, :], delta[:, :, None, :],
+            cosE, sinE, scale, 128, 128, d, fuse_rope=False,
+        )
+    np.testing.assert_allclose(np.asarray(dq.reshape(b, s, n, d)),
+                               np.asarray(dq_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk.reshape(b, s, n, d)),
+                               np.asarray(dk_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv.reshape(b, s, n, d)),
+                               np.asarray(dv_ref), rtol=2e-4, atol=2e-4)
