@@ -192,6 +192,62 @@ def main():
         errors["vae_decode"] = f"{type(ex).__name__}: {ex}"[:200]
         t_decode_compile = 0.0
 
+    # --- TeaCache-on 1.3B clip (VERDICT r3 #3: measure the implemented
+    # capability). Full 50-step CFG denoise through the split
+    # prelude/blocks/head path with the reference's default threshold for
+    # fast generation (ref test_svi.py --tea_cache 0.3). Skip decisions
+    # depend on the timestep-modulation trajectory, which is well-defined
+    # even with random weights; the skip COUNT with trained weights may
+    # differ, so both the count and the per-clip seconds are recorded.
+    tea_detail = {}
+    try:
+        from svi_tpu.pipelines.svi_video import TeaCache
+
+        lat_tc = jnp.asarray(rng.standard_normal((1, 16, LT, H // 8, W // 8)), jnp.bfloat16)
+        tc = TeaCache(STEPS, rel_l1_thresh=0.3, model_id="Wan2.1-T2V-1.3B")
+        t0 = time.perf_counter()
+        lat_tc = pipe._sample(
+            lat_tc, ctx_pos, ctx_neg, image_emb, np.float32(5.0),
+            tea_cache_posi={"tea_cache": tc}, tea_cache_nega={"tea_cache": None},
+        )
+        _ = np.asarray(lat_tc[0, 0, 0, 0, 0])
+        t_tea_total = time.perf_counter() - t0
+        # separate compile from steady state: re-run with a fresh cache
+        tc2 = TeaCache(STEPS, rel_l1_thresh=0.3, model_id="Wan2.1-T2V-1.3B")
+        lat_tc = jnp.asarray(rng.standard_normal((1, 16, LT, H // 8, W // 8)), jnp.bfloat16)
+        t0 = time.perf_counter()
+        lat_tc = pipe._sample(
+            lat_tc, ctx_pos, ctx_neg, image_emb, np.float32(5.0),
+            tea_cache_posi={"tea_cache": tc2}, tea_cache_nega={"tea_cache": None},
+        )
+        _ = np.asarray(lat_tc[0, 0, 0, 0, 0])
+        t_tea = time.perf_counter() - t0
+        del lat_tc
+        tea_detail = {
+            "denoise_50step_seconds": round(t_tea, 2),
+            "steps_skipped_of_50": tc2.skipped_steps,
+            "rel_l1_thresh": 0.3,
+            "compile_seconds": round(t_tea_total - t_tea, 1),
+            "note": ("skip count is a random-weights artifact (the rescaled "
+                     "rel-L1 trajectory depends on trained modulation); "
+                     "skipped_step_cost_fraction is weight-independent"),
+        }
+        if t_step is not None and t_decode is not None:
+            clip_tea = t_encode + t_tea + t_decode
+            tea_detail["clip_seconds"] = round(clip_tea, 2)
+            tea_detail["speedup_vs_teacache_off"] = round(
+                (t_encode + STEPS * t_step + t_decode) / clip_tea, 3)
+        n_skip, n_full = tc2.skipped_steps, STEPS - tc2.skipped_steps
+        if t_step is not None and n_skip:
+            # cost of a skipped step (prelude+head only) as a fraction of a
+            # full CFG step — the quantity docs/PERFORMANCE.md claims is ~2%
+            tea_detail["skipped_step_cost_fraction"] = round(
+                max(t_tea - n_full * t_step, 0.0) / n_skip / t_step, 4)
+        _log(f"teacache 50-step denoise {t_tea:.1f}s "
+             f"({tea_detail['steps_skipped_of_50']} skipped)")
+    except Exception as ex:  # noqa: BLE001
+        tea_detail = {"error": f"{type(ex).__name__}: {ex}"[:200]}
+
     # CLIP and the VAE are done (encode/decode measured); free their f32
     # weights (~5GB) before the train step and the 14B section — the chip
     # holds 15.75GB and the LoRA train step alone needs ~10GB
@@ -267,10 +323,11 @@ def main():
         pipe14 = SVIVideoPipeline(torch_dtype=jnp.bfloat16)
         pipe14.dit = (params14, cfg14)
         pipe14.scheduler.set_timesteps(STEPS, shift=5.0)
-        # b=1 no-CFG forward, timed x2 per step: the batched-CFG b=2 step's
-        # activations (~5GB at 32k tokens, dim 5120) don't fit next to the
-        # 8.3GB int4 weights on one chip; two sequential forwards match the
-        # reference's memory-constrained deployment behavior
+        # primary timing: b=1 no-CFG forward x2 per step (the reference's
+        # memory-constrained deployment behavior). Whether the b=2
+        # batched-CFG step actually fits next to the 8.3GB int4 weights is
+        # MEASURED below (cfg_b2_measured) rather than assumed; if it fits
+        # and is faster, the headline uses it.
         step14 = pipe14._denoise_step_nocfg_fn()
         lat14 = jnp.asarray(rng.standard_normal((1, 16, LT, H // 8, W // 8)), jnp.bfloat16)
 
@@ -290,6 +347,40 @@ def main():
         _ = np.asarray(lat14[0, 0, 0, 0, 0])
         t14_step = 2 * (time.perf_counter() - t0) / 2  # CFG = 2 forwards/step
 
+        # VERDICT r3 #4: measure (don't assert) whether the b=2 batched-CFG
+        # step fits next to the 8.3GB int4 weights. Records either the step
+        # time (and flips the per-step accounting if faster) or the OOM.
+        cfg_b2 = {}
+        if use_w4a8:
+            try:
+                step14c = pipe14._denoise_step_fn()
+                ctx2_14 = jnp.concatenate([ctx_pos, ctx_pos], axis=0)
+                lat_b2 = jnp.asarray(
+                    rng.standard_normal((1, 16, LT, H // 8, W // 8)), jnp.bfloat16)
+
+                def one_step14_b2(lat, i):
+                    return step14c(
+                        params14, lat, jnp.asarray([timesteps[i]]), sigmas[i],
+                        sigmas[i + 1], ctx2_14, image_emb["clip_feature"],
+                        image_emb["y"], np.float32(5.0), None,
+                    )
+
+                lat_b2 = one_step14_b2(lat_b2, 0)
+                _ = np.asarray(lat_b2[0, 0, 0, 0, 0])
+                t0 = time.perf_counter()
+                lat_b2 = one_step14_b2(lat_b2, 1)
+                _ = np.asarray(lat_b2[0, 0, 0, 0, 0])
+                t_b2 = time.perf_counter() - t0
+                cfg_b2 = {"step_seconds": round(t_b2, 3),
+                          "note": "batched cond/uncond in one forward"}
+                del lat_b2, step14c, ctx2_14
+                _log(f"14B batched-CFG b=2 step {t_b2:.3f}s (fits)")
+                if t_b2 < t14_step:
+                    t14_step = t_b2
+            except Exception as ex:  # noqa: BLE001
+                cfg_b2 = {"error": f"{type(ex).__name__}: {ex}"[:300]}
+                _log(f"14B batched-CFG b=2: {cfg_b2['error'][:120]}")
+
         n14 = sum(
             (x.size * 2 if x.dtype == jnp.int8 else x.size)
             for x in jax.tree.leaves(params14) if x.ndim >= 2
@@ -300,17 +391,27 @@ def main():
         dec = t_decode if t_decode is not None else 0.0
         clip14 = enc + STEPS * t14_step + dec
         a100_14 = (STEPS * 2 * flops14) / (312e12 * 0.5) + enc + dec
+        used_b2 = "step_seconds" in cfg_b2 and cfg_b2["step_seconds"] == round(t14_step, 3)
         detail = {
             "step_seconds": round(t14_step, 3),
             "frames_per_sec_per_chip": round(NF / clip14, 4),
             "min_per_1min_video": round(clip14 * (60 * 24) / (NF - 1) / 60, 1),
             "vs_baseline": round(a100_14 / clip14, 3),
+            # VERDICT r3 #10: the A100 comparison is an estimate; report the
+            # sensitivity band across 40/50/60% sustained-bf16-util assumptions
+            "vs_baseline_band_40_50_60pct_util": [
+                round(((STEPS * 2 * flops14) / (312e12 * u) + enc + dec) / clip14, 3)
+                for u in (0.4, 0.5, 0.6)
+            ],
             "weights": ("packed int4 (8.3GB), group-128 scales"
                         + (", int8-MXU W4A8 execution" if use_w4a8
                            else ", bf16 dequant-per-use")),
-            "cfg": "2 sequential b=1 forwards per step (memory-bound)",
+            "cfg": ("batched cond/uncond b=2 forward" if used_b2
+                    else "2 sequential b=1 forwards per step"),
             "compile_seconds": round(t14_compile, 1),
         }
+        if cfg_b2:
+            detail["cfg_b2_measured"] = cfg_b2
         # free before the next variant
         pipe14._jit_cache.clear()
         del params14, step14, pipe14, lat14
@@ -327,6 +428,68 @@ def main():
         _log(f"14B bf16-dequant step {fl14_bf16['step_seconds']}s")
     except Exception as ex:  # noqa: BLE001
         fl14_bf16 = {"error": f"{type(ex).__name__}: {ex}"[:200]}
+
+    # --- warm-start: time-to-first-step in a FRESH process with the
+    # persistent compilation cache warm (VERDICT r3 #3). The child re-jits
+    # the exact 1.3B denoise-step HLO this process just compiled; the
+    # persistent cache (svi_tpu.enable_compilation_cache) turns the ~35s
+    # cold compile into a cache load.
+    warm_detail = {}
+    try:
+        import subprocess
+
+        child_src = f"""
+import json, time
+t_start = time.perf_counter()
+import numpy as np
+import jax
+import svi_tpu
+svi_tpu.enable_compilation_cache()
+import jax.numpy as jnp
+from svi_tpu.models import wan_dit
+from svi_tpu.pipelines.svi_video import SVIVideoPipeline
+H, W, NF, LT = {H}, {W}, {NF}, {LT}
+dit_cfg = wan_dit.WanDiTConfig(
+    dim=1536, in_dim=36, ffn_dim=8960, out_dim=16, num_heads=12, num_layers=30,
+    has_image_input=True, dtype=jnp.bfloat16,
+)
+params = wan_dit.init_params(jax.random.PRNGKey(0), dit_cfg)
+pipe = SVIVideoPipeline(torch_dtype=jnp.bfloat16)
+pipe.dit = (params, dit_cfg)
+pipe.scheduler.set_timesteps({STEPS}, shift=5.0)
+step_fn = pipe._denoise_step_fn()
+rng = np.random.default_rng(0)
+lat = jnp.asarray(rng.standard_normal((1, 16, LT, H // 8, W // 8)), jnp.bfloat16)
+ctx2 = jnp.asarray(rng.standard_normal((2, 512, 4096)), jnp.bfloat16)
+clip_f = jnp.zeros({list(image_emb["clip_feature"].shape)}, jnp.{image_emb["clip_feature"].dtype.name})
+y = jnp.zeros({list(image_emb["y"].shape)}, jnp.{image_emb["y"].dtype.name})
+t_ready = time.perf_counter()
+lat = step_fn(params, lat, jnp.asarray([999.0], jnp.float32), np.float32(1.0),
+              np.float32(0.98), ctx2, clip_f, y, np.float32(5.0), None)
+_ = np.asarray(lat[0, 0, 0, 0, 0])
+t_first = time.perf_counter()
+print(json.dumps({{
+    "seconds_to_first_step_from_process_start": round(t_first - t_start, 1),
+    "import_and_init_seconds": round(t_ready - t_start, 1),
+    "warm_compile_plus_exec_seconds": round(t_first - t_ready, 1),
+}}))
+"""
+        proc = subprocess.run(
+            [sys.executable, "-c", child_src], capture_output=True, text=True,
+            timeout=600, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        last = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
+        if proc.returncode == 0 and last:
+            warm_detail = json.loads(last[-1])
+            warm_detail["note"] = (
+                "fresh process, persistent compile cache warm; compare "
+                "wan_1_3B.compile_seconds for the cold number")
+            _log(f"warm-start first step "
+                 f"{warm_detail['seconds_to_first_step_from_process_start']}s")
+        else:
+            warm_detail = {"error": (proc.stderr or "no output")[-300:]}
+    except Exception as ex:  # noqa: BLE001
+        warm_detail = {"error": f"{type(ex).__name__}: {ex}"[:200]}
 
     # --- opt-in: one 14B QLoRA train step (int4 base on the int8 MXU, fp32
     # rank-64 adapters, sqrt-remat block groups) — the single-chip flagship
@@ -403,6 +566,8 @@ def main():
             "published reference wall-clock is Wan2.2-5B-SVI at ~10 min per "
             "1-min video on 1xH100 (ref docs/DevLog.md:4)"),
         "flagship_14b_bf16": fl14_bf16,
+        "wan_1_3B_teacache_0.3": tea_detail,
+        "warm_start": warm_detail,
         **train_detail,
     }
     if errors:
@@ -420,6 +585,11 @@ def main():
             "clip_seconds": round(clip_seconds, 2),
             "min_per_1min_video": round(clip_seconds * (60 * 24) / (NF - 1) / 60, 2),
             "vs_baseline": round(a100_clip_seconds / clip_seconds, 3),
+            "vs_baseline_band_40_50_60pct_util": [
+                round((((STEPS * 2 * flops_fwd) / (312e12 * u) + t_encode + t_decode)
+                       / clip_seconds), 3)
+                for u in (0.4, 0.5, 0.6)
+            ],
             "compile_seconds": round(t_encode_compile + t_step_compile + t_decode_compile, 1),
         }
         if "denoise_step_seconds" in int8_detail:

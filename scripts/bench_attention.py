@@ -1,11 +1,15 @@
-"""Attention-kernel tuning harness (VERDICT r3 action #2).
+"""Attention-kernel tuning harness.
 
 Times ops.attention's Pallas forward at the 14B flagship shape
-(b=1, heads=40, S=32760, d=128 — 480x832/81f) and reports achieved TF/s
-per variant so block/unroll changes can be judged in isolation from the
-full step. FLOPs counted as 4*S*S*d per head (QK^T + PV).
+(b=1, heads=40, S=32760, d=128 — 480x832/81f) and reports achieved TF/s.
+FLOPs counted as 4*S*S*d per head (QK^T + PV).
 
-Usage: python scripts/bench_attention.py [--seq 32760] [--heads 40]
+Timing method: the axon tunnel adds ~25-30ms of fixed dispatch latency per
+python->device call, which swamps a ~130ms kernel. Each measurement
+therefore runs the op CHAIN times inside one jit with a data dependency
+(out feeds the next q) and reports (T_chain - T_single) / (CHAIN - 1).
+
+Usage: python scripts/bench_attention.py [--seq 32760] [--heads 40] [--rope]
 """
 
 from __future__ import annotations
@@ -53,11 +57,16 @@ def main():
     else:
         cos = sin = None
 
-    fn = jax.jit(
-        lambda q_, k_, v_: attn.flash_attention_flat(
-            q_, k_, v_, head_dim=d, cos=cos, sin=sin
-        )
-    )
+    CHAIN = 5
+
+    def mk(nreps):
+        def f(q_, k_, v_):
+            out = q_
+            for _ in range(nreps):
+                out = attn.flash_attention_flat(out, k_, v_, head_dim=d,
+                                                cos=cos, sin=sin)
+            return out
+        return f
 
     def sync(x):
         # the axon tunnel dispatches asynchronously even through
@@ -65,15 +74,19 @@ def main():
         # (same workaround as bench.py)
         return np.asarray(x[0, 0, 0])
 
-    out = fn(q, k, v)
-    sync(out)
-    times = []
+    f1 = jax.jit(mk(1))
+    fc = jax.jit(mk(CHAIN))
+    sync(f1(q, k, v))
+    sync(fc(q, k, v))
+    t1s, tcs = [], []
     for _ in range(args.iters):
         t0 = time.perf_counter()
-        out = fn(q, k, v)
-        sync(out)
-        times.append(time.perf_counter() - t0)
-    t = min(times)
+        sync(f1(q, k, v))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        sync(fc(q, k, v))
+        tcs.append(time.perf_counter() - t0)
+    t = (min(tcs) - min(t1s)) / (CHAIN - 1)
     print(f"shape b{b} n{n} s{s} d{d} rope={args.rope}: "
           f"{t * 1e3:.2f} ms  {flops / t / 1e12:.1f} TF/s")
 

@@ -59,6 +59,7 @@ class TeaCache:
         self.previous_residual = None
         self.previous_hidden_states = None
         self.coefficients = self.COEFFICIENTS[model_id]
+        self.skipped_steps = 0  # observability: block-stack evaluations saved
 
     def check(self, x_tokens, t_mod) -> bool:
         """Returns True if the block stack can be SKIPPED this step."""
@@ -82,6 +83,8 @@ class TeaCache:
             self.step = 0
         if should_calc:
             self.previous_hidden_states = x_tokens
+        else:
+            self.skipped_steps += 1
         return not should_calc
 
     def store(self, hidden_states):
