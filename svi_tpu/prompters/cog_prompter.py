@@ -31,6 +31,10 @@ class CogPrompter(BasePrompter):
 
         prompt = self.process_prompt(prompt, positive=positive)
         t5_params, t5_cfg, tok = self.t5
+        if tok is None:  # vendored spiece + <extra_id_*> added tokens
+            from .sp_tokenizer import default_t5_tokenizer
+
+            tok = default_t5_tokenizer()
         ids = tok(prompt, return_tensors="np", padding="max_length",
                   max_length=max_length, truncation=True).input_ids
         emb = t5_mod.forward(t5_params, t5_cfg, jnp.asarray(ids))

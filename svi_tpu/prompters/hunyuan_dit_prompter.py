@@ -33,6 +33,10 @@ class HunyuanDiTPrompter(BasePrompter):
         import torch
 
         prompt = self.process_prompt(prompt, positive=positive)
+        if self.bert_tokenizer is None:  # vendored WordPiece vocab
+            from .sp_tokenizer import default_bert_tokenizer
+
+            self.bert_tokenizer = default_bert_tokenizer()
         with torch.no_grad():
             ti = self.bert_tokenizer(prompt, padding="max_length", max_length=77,
                                      truncation=True, return_tensors="pt")

@@ -22,6 +22,10 @@ class KolorsPrompter:
                       clip_skip_2=2, max_length=256):
         from ..models import kolors
 
+        if self.tokenizer is None:  # vendored ChatGLM sentencepiece BPE
+            from .sp_tokenizer import default_chatglm_tokenizer
+
+            self.tokenizer = default_chatglm_tokenizer()
         ids, mask, pos = kolors.kolors_tokenize(prompt, self.tokenizer,
                                                 max_length)
         pooled, emb = kolors.kolors_encode_prompt(

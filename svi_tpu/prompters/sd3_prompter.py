@@ -46,6 +46,10 @@ class SD3Prompter:
             from ..models import t5 as t5_mod
 
             t5_params, t5_cfg, t5_tok = t5
+            if t5_tok is None:
+                from .sp_tokenizer import default_t5_tokenizer
+
+                t5_tok = default_t5_tokenizer()
             tid = t5_tok(prompt, return_tensors="np", padding="max_length",
                          max_length=t5_sequence_length, truncation=True).input_ids
             emb_3 = t5_mod.forward(t5_params, t5_cfg, jnp.asarray(tid))

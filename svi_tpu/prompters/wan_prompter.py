@@ -42,9 +42,20 @@ class WanPrompter:
             self.fetch_tokenizer(tokenizer_path)
 
     def fetch_tokenizer(self, tokenizer_path):
-        from transformers import AutoTokenizer
+        import os
 
-        self.tokenizer = AutoTokenizer.from_pretrained(tokenizer_path, local_files_only=True)
+        if os.path.isfile(os.path.join(tokenizer_path, "spiece.model")):
+            # native engine (prompters/sp_tokenizer.py): slow-tokenizer
+            # semantics, exactly what the reference's AutoTokenizer load of
+            # google/umt5-xxl resolves to — and the only loadable path in
+            # environments without the sentencepiece wheel
+            from .sp_tokenizer import T5SpTokenizer
+
+            self.tokenizer = T5SpTokenizer(tokenizer_path, fast_pipeline=False)
+        else:
+            from transformers import AutoTokenizer
+
+            self.tokenizer = AutoTokenizer.from_pretrained(tokenizer_path, local_files_only=True)
 
     def fetch_models(self, text_encoder):
         self.text_encoder = text_encoder
