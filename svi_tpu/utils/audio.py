@@ -53,8 +53,16 @@ def load_audio(path: str, sr: int = AUDIO_SR) -> np.ndarray:
     return np.asarray(wav, np.float32)
 
 
-def load_wav2vec(path: str):
-    """(feature_extractor, model) from a local chinese-wav2vec2-base dir."""
+def load_wav2vec(path: str, engine: str = "jax"):
+    """(feature_extractor, model) from a local chinese-wav2vec2-base dir.
+
+    engine="jax" (default): the native tower (models/wav2vec2.py) — reads the
+    checkpoint state dict directly, runs on the accelerator, no torch module.
+    engine="torch": transformers' Wav2Vec2Model (golden-parity fallback)."""
+    if engine == "jax":
+        from ..models import wav2vec2 as w2v
+
+        return None, ("jax", w2v.load_params(path))
     from transformers import Wav2Vec2FeatureExtractor, Wav2Vec2Model
 
     model = Wav2Vec2Model.from_pretrained(path, local_files_only=True).eval()
@@ -65,11 +73,19 @@ def load_wav2vec(path: str):
 def wav2vec_embedding(speech: np.ndarray, feature_extractor, model, sr: int = AUDIO_SR) -> np.ndarray:
     """speech -> (video_frames, 12, 768): all 12 encoder hidden states, conv
     features linearly interpolated to 25fps length (ref wav2vec2.py:29-35 +
-    audio_process.py:18-41)."""
+    audio_process.py:18-41). `model` is either a transformers Wav2Vec2Model
+    or the native ("jax", params) pair from load_wav2vec(engine="jax")."""
+    video_length = int(len(speech) / sr * AUDIO_FPS)
+    if isinstance(model, tuple) and model[0] == "jax":
+        from ..models import wav2vec2 as w2v
+
+        x = w2v.normalize_input(speech)[None]
+        states = np.asarray(w2v.forward(model[1], x, video_length))  # (12,1,s,768)
+        return states[:, 0].transpose(1, 0, 2)  # (s, 12, 768)
+
     import torch
     import torch.nn.functional as F
 
-    video_length = int(len(speech) / sr * AUDIO_FPS)
     inputs = feature_extractor(speech, sampling_rate=sr, return_tensors="pt").input_values
     with torch.no_grad():
         feats = model.feature_extractor(inputs)  # (1, c, s')
