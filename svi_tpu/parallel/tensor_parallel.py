@@ -45,18 +45,29 @@ def _rms_norm_tp(x, weight_local, eps, axis):
 
 
 def _dense(p, x):
-    y = x @ p["w"].astype(x.dtype)
-    if "b" in p:
-        y = y + p["b"].astype(x.dtype)
-    return y
+    """Column-parallel (or replicated) dense. Delegates to wan_dit._dense so
+    every quantized leaf layout (w_q8 / w_q / packed w_q4) executes sharded
+    exactly as it does single-chip: out features (and their per-channel
+    scales) are sharded, the matmul is shard-local. For W8A8 the dynamic
+    per-token activation scale is computed over the full (replicated) input
+    features, so column-parallel W8A8 is bit-identical to single-chip."""
+    return wan_dit._dense(p, x)
 
 
 def _dense_row(p, x, axis):
-    """Row-parallel: partial matmul + psum, bias added once (post-psum)."""
-    y = jax.lax.psum(x @ p["w"].astype(x.dtype), axis)
+    """Row-parallel: partial matmul + psum, bias added once (post-psum).
+
+    Quantized leaves: the local shard dequantizes its int8/int4 partial
+    product to float BEFORE the psum (per-output-channel scales are
+    replicated at row sites), so partial sums combine exactly. W8A8 numerics
+    differ slightly from single-chip — each shard quantizes its activation
+    slice with its own per-token max, which is a finer (more accurate)
+    grid than the global one."""
     if "b" in p:
-        y = y + p["b"].astype(x.dtype)
-    return y
+        pb = {k: v for k, v in p.items() if k != "b"}
+        y = jax.lax.psum(wan_dit._dense(pb, x), axis)
+        return y + p["b"].astype(x.dtype)
+    return jax.lax.psum(wan_dit._dense(p, x), axis)
 
 
 def _self_attention_tp(p, cfg, x, cos, sin, n_local, axis):
@@ -212,6 +223,60 @@ def block_param_specs(has_image_input: bool, multitalk: bool = False,
     return specs
 
 
+def block_param_specs_for(blocks: dict, has_image_input: bool,
+                          multitalk: bool = False, customtalk: bool = False,
+                          axis: str = AXIS) -> dict:
+    """PartitionSpecs derived from the ACTUAL blocks pytree, so quantized
+    param layouts (quantize_params_w8a8 / _int8 / _int4) shard correctly:
+
+    column-parallel sites: every leaf's last axis is the out-feature axis
+      (w (L,in,out), w_q8, packed w_q4 (L,in/2,out), group scales
+      (L,in/G,out), per-channel scales (L,1,out), biases (L,out)) — shard it.
+    row-parallel sites: weights (L,in,out) shard the in axis; biases and
+      per-output-channel scales are replicated (applied post- or pre-psum
+      uniformly). Packed int4 CANNOT row-shard: the half-split nibble layout
+      interleaves input rows i and i+in/2 in one byte row, which does not
+      match the contiguous activation slice a shard holds — use w8a8/int8
+      quantization for tensor-parallel serving (int4 exists to fit one chip,
+      which TP makes unnecessary).
+    """
+    base = block_param_specs(has_image_input, multitalk, customtalk)
+    if axis != AXIS:
+        base = jax.tree.map(
+            lambda s: P(*(axis if a == AXIS else a for a in s)),
+            base, is_leaf=lambda x: isinstance(x, P))
+    col_w = P(None, None, axis)
+    row_w = P(None, axis, None)
+    row_leaf = {"w": row_w, "b": P(), "w_q8": row_w, "scale8": P(),
+                "w_q": row_w, "scale": P()}
+
+    def walk(spec_site, param_site):
+        out = {}
+        role = None
+        if isinstance(spec_site, dict) and "w" in spec_site:
+            role = ("col" if spec_site["w"] == col_w
+                    else "row" if spec_site["w"] == row_w else None)
+        for k, v in param_site.items():
+            if isinstance(v, dict):
+                out[k] = walk(spec_site[k], v)
+            elif k in spec_site:
+                out[k] = spec_site[k]
+            elif role == "col":
+                out[k] = P(*([None] * (v.ndim - 1) + [axis]))
+            elif role == "row":
+                if k not in row_leaf:
+                    raise ValueError(
+                        f"packed-int4 leaf {k!r} cannot be row-sharded "
+                        "(half-split nibble layout); quantize with w8a8/int8 "
+                        "for tensor parallelism")
+                out[k] = row_leaf[k]
+            else:
+                raise ValueError(f"no spec for leaf {k!r} at a replicated site")
+        return out
+
+    return walk(base, blocks)
+
+
 def split_audio_kv(blocks: dict) -> dict:
     """Split the fused audio kv_linear (out layout (2, n, hd), wan_dit.
     _audio_cross_attention) into separate k_linear/v_linear so the out axis
@@ -221,9 +286,11 @@ def split_audio_kv(blocks: dict) -> dict:
     blocks = dict(blocks)
     aca = dict(blocks["audio_cross_attn"])
     kv = aca.pop("kv_linear")
-    d = kv["w"].shape[-1] // 2
-    aca["k_linear"] = {"w": kv["w"][..., :d], "b": kv["b"][..., :d]}
-    aca["v_linear"] = {"w": kv["w"][..., d:], "b": kv["b"][..., d:]}
+    # every leaf's last axis is the out-feature axis (true for w, biases,
+    # quantized weights, and their per-channel/group scales alike)
+    d = next(iter(kv.values())).shape[-1] // 2
+    aca["k_linear"] = {k: v[..., :d] for k, v in kv.items()}
+    aca["v_linear"] = {k: v[..., d:] for k, v in kv.items()}
     blocks["audio_cross_attn"] = aca
     return blocks
 
@@ -232,8 +299,9 @@ def shard_dit_params_tp(params: dict, cfg, mesh: Mesh) -> dict:
     """Place the DiT params with TP shardings (blocks sharded over AXIS,
     everything else replicated) — each chip then holds ~1/n of the blocks'
     weights, which is where ~99% of the parameters live."""
-    specs = block_param_specs(cfg.has_image_input, cfg.enable_multitalk,
-                              cfg.enable_customtalk)
+    blocks = split_audio_kv(params["blocks"]) if "blocks" in params else {}
+    specs = block_param_specs_for(blocks, cfg.has_image_input,
+                                  cfg.enable_multitalk, cfg.enable_customtalk)
     rep = NamedSharding(mesh, P())
 
     def place(path_spec, leaf):
@@ -242,7 +310,7 @@ def shard_dit_params_tp(params: dict, cfg, mesh: Mesh) -> dict:
     out = {}
     for k, v in params.items():
         if k == "blocks":
-            out[k] = jax.tree.map(place, specs, split_audio_kv(v))
+            out[k] = jax.tree.map(place, specs, blocks)
         else:
             out[k] = jax.tree.map(lambda x: jax.device_put(x, rep), v)
     return out
@@ -289,8 +357,11 @@ def forward_tp(
              else jnp.zeros((b, S, d), tokens.dtype)) if customtalk_carry else jnp.zeros((0,), cfg.dtype)
     audio_in = audio_embed if audio_embed is not None else jnp.zeros((0,), cfg.dtype)
 
-    specs = block_param_specs(cfg.has_image_input, cfg.enable_multitalk,
-                              cfg.enable_customtalk)
+    # params["blocks"] arrives pre-sharded (and audio-kv-split) from
+    # shard_dit_params_tp; derive the shard_map specs from its actual
+    # structure so quantized layouts (w_q8/w_q/w_q4 + scales) line up
+    specs = block_param_specs_for(params["blocks"], cfg.has_image_input,
+                                  cfg.enable_multitalk, cfg.enable_customtalk)
     rep = P()
     dspec = P("data")
 

@@ -148,33 +148,28 @@ def _dit_block_tpsp(p, cfg, x, context, t_mod, cos_l, sin_l, kv_len, n_local,
     return x + gate_mlp * ffn
 
 
-def _block_param_specs_tp(cfg) -> dict:
-    from .tensor_parallel import block_param_specs
+def _block_param_specs_tp(cfg, blocks: dict) -> dict:
+    """Specs for the (audio-kv-split, possibly quantized) blocks pytree,
+    on the 'tp' axis (tensor_parallel derives them on 'sp')."""
+    from .tensor_parallel import block_param_specs_for
 
-    # tensor_parallel's specs use axis name 'sp'; remap to 'tp'
-    def remap(spec):
-        parts = tuple(TP if a == "sp" else a for a in spec)
-        return P(*parts)
-
-    return jax.tree.map(
-        remap,
-        block_param_specs(cfg.has_image_input, cfg.enable_multitalk,
-                          cfg.enable_customtalk),
-        is_leaf=lambda x: isinstance(x, P),
-    )
+    return block_param_specs_for(blocks, cfg.has_image_input,
+                                 cfg.enable_multitalk, cfg.enable_customtalk,
+                                 axis=TP)
 
 
 def shard_dit_params_tpsp(params: dict, cfg, mesh: Mesh) -> dict:
     from .tensor_parallel import split_audio_kv
 
-    specs = _block_param_specs_tp(cfg)
+    blocks = split_audio_kv(params["blocks"]) if "blocks" in params else {}
+    specs = _block_param_specs_tp(cfg, blocks)
     rep = NamedSharding(mesh, P())
     out = {}
     for k, v in params.items():
         if k == "blocks":
             out[k] = jax.tree.map(
                 lambda spec, leaf: jax.device_put(leaf, NamedSharding(mesh, spec)),
-                specs, split_audio_kv(v),
+                specs, blocks,
                 is_leaf=lambda x: isinstance(x, P) or not isinstance(x, dict),
             )
         else:
@@ -229,7 +224,9 @@ def forward_tpsp(
             cond0 = jnp.pad(cond0, ((0, 0), (0, S_pad - S), (0, 0)))
     audio_in = audio_embed if audio_embed is not None else jnp.zeros((0,), cfg.dtype)
 
-    specs = _block_param_specs_tp(cfg)
+    # params["blocks"] arrives pre-sharded (audio-kv-split, possibly
+    # quantized) from shard_dit_params_tpsp; derive specs from its structure
+    specs = _block_param_specs_tp(cfg, params["blocks"])
     tok_spec = P("data", SP, None)
     rep = P()
     dspec = P("data")

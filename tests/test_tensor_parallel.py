@@ -66,3 +66,63 @@ def test_param_memory_actually_sharded():
     w = sharded["blocks"]["ffn"]["0"]["w"]  # (L, d, f) sharded on axis 2
     shard_shape = w.addressable_shards[0].data.shape
     assert shard_shape == (TINY.num_layers, TINY.dim, TINY.ffn_dim // 8)
+
+
+def test_forward_tp_w8a8_quantized():
+    """W8A8 int8 execution under tensor parallelism: column-parallel sites
+    are bit-identical to single-chip W8A8 (the per-token activation scale is
+    computed over the replicated input features); row-parallel sites
+    quantize each shard's activation slice with its own per-token max, so
+    TP output is compared against the FLOAT forward at the same quant
+    tolerance as single-chip W8A8 (test_wan_dit.py::
+    test_w8a8_quantized_forward_close)."""
+    mesh = make_mesh(data=1, sp=8)
+    params = wan_dit.init_params(jax.random.PRNGKey(3), TINY)
+    qparams = wan_dit.quantize_params_w8a8(params, min_size=1024)
+    x, t, ctx = make_inputs(b=1, seed=3)
+
+    ref = np.asarray(wan_dit.forward(params, TINY, x, t, ctx))
+    ref_q = np.asarray(wan_dit.forward(qparams, TINY, x, t, ctx))
+    sharded = shard_dit_params_tp(qparams, TINY, mesh)
+    # the blocks must actually hold int8 leaves, sharded
+    w = sharded["blocks"]["ffn"]["0"]["w_q8"]
+    assert w.dtype == jnp.int8
+    assert w.addressable_shards[0].data.shape == (
+        TINY.num_layers, TINY.dim, TINY.ffn_dim // 8)
+    out = np.asarray(jax.jit(
+        lambda p, x_, t_, c: forward_tp(p, TINY, x_, t_, c, mesh=mesh)
+    )(sharded, x, t, ctx))
+
+    rel_float = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-8)
+    assert rel_float < 0.08, f"TP w8a8 vs float rel err {rel_float}"
+    # TP-vs-single-chip quantized drift is bounded by the row-site activation
+    # requantization alone — much smaller than the quant noise itself
+    rel_q = np.abs(out - ref_q).mean() / (np.abs(ref_q).mean() + 1e-8)
+    assert rel_q < 0.05, f"TP w8a8 vs single-chip w8a8 rel err {rel_q}"
+
+
+def test_forward_tp_int8_storage_quantized():
+    """int8 storage-only quantization (bf16 matmuls after per-channel
+    dequant) under TP: dequantization is deterministic, so TP matches the
+    single-device quantized forward to reduction-order tolerance."""
+    mesh = make_mesh(data=1, sp=4, devices=jax.devices()[:4])
+    params = wan_dit.init_params(jax.random.PRNGKey(4), TINY)
+    qparams = wan_dit.quantize_params_int8(params, min_size=1024)
+    x, t, ctx = make_inputs(b=1, seed=4)
+
+    ref_q = np.asarray(wan_dit.forward(qparams, TINY, x, t, ctx))
+    sharded = shard_dit_params_tp(qparams, TINY, mesh)
+    out = np.asarray(jax.jit(
+        lambda p, x_, t_, c: forward_tp(p, TINY, x_, t_, c, mesh=mesh)
+    )(sharded, x, t, ctx))
+    np.testing.assert_allclose(out, ref_q, rtol=3e-4, atol=3e-4)
+
+
+def test_forward_tp_int4_row_sharding_rejected():
+    """Packed int4 cannot be row-sharded (half-split nibble layout breaks the
+    contiguous activation slice); shard_dit_params_tp must say so."""
+    mesh = make_mesh(data=1, sp=2, devices=jax.devices()[:2])
+    params = wan_dit.init_params(jax.random.PRNGKey(5), TINY)
+    qparams = wan_dit.quantize_params_int4(params, min_size=1024)
+    with pytest.raises(ValueError, match="row-sharded"):
+        shard_dit_params_tp(qparams, TINY, mesh)

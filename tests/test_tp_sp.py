@@ -61,3 +61,21 @@ def test_forward_tpsp_i2v():
         )
     )(sharded, x, t, ctx, clip, y)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-4, atol=3e-4)
+
+
+def test_forward_tpsp_w8a8_quantized():
+    """W8A8 int8 execution under the 2D TP x SP mesh: quantized leaves shard
+    on the tp axis, sequence shards on sp; output stays within single-chip
+    W8A8 quant tolerance of the float forward."""
+    mesh = make_mesh3(data=1, tp=2, sp=4)
+    params = wan_dit.init_params(jax.random.PRNGKey(6), TINY)
+    qparams = wan_dit.quantize_params_w8a8(params, min_size=1024)
+    x, t, ctx = make_inputs(b=1, seed=6)
+    ref = np.asarray(wan_dit.forward(params, TINY, x, t, ctx))
+    sharded = shard_dit_params_tpsp(qparams, TINY, mesh)
+    assert sharded["blocks"]["ffn"]["0"]["w_q8"].dtype == jnp.int8
+    out = np.asarray(jax.jit(
+        lambda p, x_, t_, c: forward_tpsp(p, TINY, x_, t_, c, mesh=mesh)
+    )(sharded, x, t, ctx))
+    rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-8)
+    assert rel < 0.08, f"TPxSP w8a8 vs float rel err {rel}"
