@@ -614,9 +614,13 @@ def _choose_blocks(sq: int, sk: int, d: int):
 def _choose_blocks_flat(sq: int, sk: int, d: int):
     """(block_q, block_k, nsub) for the flat forward kernel. Tuned on TPU
     v5e at the SVI 14B shape (n40 s32760 d128), dispatch-amortized chained
-    timing: bq=2048/bk=4096 with 2 decoupled sub-blocks = 169.8 TF/s vs
-    150.3 for bq=1024/bk=2048/nsub=1 (matmul-only roof at this blocking:
-    194.5; hardware peak 197). nsub>1 needs 128-lane-aligned sub-blocks."""
+    timing (scripts/sweep_attention_blocks.py, round 4): bq=2048/bk=4096
+    with 4 decoupled sub-blocks = 177.7 TF/s (rope-fused) vs 168.5 at
+    nsub=2 and 150.3 for bq=1024/bk=2048/nsub=1; nsub=8 collapses to 140
+    (per-sub softmax bookkeeping dominates), bq=4096 and bk=8192 exceed
+    VMEM (matmul-only roof at this blocking: 194.5; hardware peak 197).
+    nsub>1 needs 128-lane-aligned sub-blocks; prefer 1024-wide sub-blocks,
+    falling back to 2 sub-blocks, then 1."""
     if d <= 128:
         bq_max, bk_max = 2048, 4096
     elif d <= 256:
@@ -625,7 +629,12 @@ def _choose_blocks_flat(sq: int, sk: int, d: int):
         bq_max, bk_max = 256, 512
     block_q = bq_max if sq >= bq_max else _ceil_to(max(sq, 8), 128)
     block_k = bk_max if sk >= bk_max else _ceil_to(max(sk, 128), 128)
-    nsub = 2 if (block_k % 256 == 0 and block_k >= 512) else 1
+    if block_k % 1024 == 0 and block_k >= 4096:
+        nsub = block_k // 1024
+    elif block_k % 256 == 0 and block_k >= 512:
+        nsub = 2
+    else:
+        nsub = 1
     return block_q, block_k, nsub
 
 

@@ -6,6 +6,8 @@ XLA path and pallas interpret mode on tiny shapes.
 """
 
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -99,15 +101,17 @@ def test_pallas_kernel_interpret_mode():
     )
 
 
-def test_flat_kernel_interpret_mode_nsub_masked_rope():
-    """The production flat kernel (decoupled nsub=2 sub-block pipeline) in
-    interpreter mode: masked tail + fused RoPE vs a rotated dense reference."""
+@pytest.mark.parametrize("block_k,nsub", [(256, 2), (512, 4)])
+def test_flat_kernel_interpret_mode_nsub_masked_rope(block_k, nsub):
+    """The production flat kernel (decoupled sub-block pipeline, nsub=2 and
+    the 14B-shape default nsub=4) in interpreter mode: masked tail + fused
+    RoPE vs a rotated dense reference."""
     from jax.experimental.pallas import tpu as pltpu
     from svi_tpu.ops import attention as attn_mod
     from svi_tpu.ops.rope import apply_rope, rope_angles_for_grid
 
     rng = np.random.default_rng(6)
-    b, s, n, d = 1, 448, 2, 128  # pads to 512 -> masked; nsub sub-blocks of 128
+    b, s, n, d = 1, 448, 2, 128  # pads to 512 -> masked; 128-aligned sub-blocks
     q, k, v = rand_qkv(rng, b, s, s, n, d)
     cos, sin = rope_angles_for_grid((7, 8, 8), d)  # 448 tokens
     ref = dense_reference(apply_rope(q, cos, sin), apply_rope(k, cos, sin), v)
@@ -115,7 +119,7 @@ def test_flat_kernel_interpret_mode_nsub_masked_rope():
     qf = q.reshape(b, s, n * d)
     kf = k.reshape(b, s, n * d)
     vf = v.reshape(b, s, n * d)
-    block_q, block_k, nsub = 256, 256, 2
+    block_q = 256
     pad = 512 - s
     qp = jnp.pad(qf, ((0, 0), (0, pad), (0, 0)))
     kp = jnp.pad(kf, ((0, 0), (0, pad), (0, 0)))
