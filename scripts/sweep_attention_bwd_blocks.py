@@ -32,7 +32,9 @@ def main():
     ap.add_argument("--rope", action="store_true", default=False)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--configs", type=str, default="",
-                    help="comma-separated bq:bk pairs; empty = full grid")
+                    help="comma-separated bq:bk or bq:bk:nsub_dq:nsub_dkv; "
+                         "empty = full grid at nsub 1/1")
+    ap.add_argument("--chain", type=int, default=5)
     args = ap.parse_args()
 
     import jax
@@ -49,7 +51,7 @@ def main():
     rng = np.random.default_rng(0)
     scale = 1.0 / np.sqrt(d)
     flops = 10.0 * b * n * float(s) * float(s) * d
-    CHAIN = 5
+    CHAIN = args.chain
 
     configs = [
         (512, 1024),   # round-3 default
@@ -63,6 +65,7 @@ def main():
     if args.configs:
         configs = [tuple(int(x) for x in c.split(":"))
                    for c in args.configs.split(",")]
+    configs = [c if len(c) == 4 else (*c, 1, 1) for c in configs]
 
     def ceil_to(x, m):
         return (x + m - 1) // m * m
@@ -71,7 +74,7 @@ def main():
         cos, sin = rope_angles_for_grid((21, 30, 52), d)
 
     results = []
-    for (bq, bk) in configs:
+    for (bq, bk, nsq, nskv) in configs:
         sq_p, sk_p = ceil_to(s, bq), ceil_to(s, bk)
         q = jnp.asarray(rng.standard_normal((b, sq_p, n * d)) * 0.3, jnp.bfloat16)
         k = jnp.asarray(rng.standard_normal((b, sk_p, n * d)) * 0.3, jnp.bfloat16)
@@ -87,14 +90,16 @@ def main():
             cosE = sinE = jnp.zeros((8, d), jnp.float32)
             fuse = False
 
-        def mk(nreps, bq=bq, bk=bk, fuse=fuse):
+        def mk(nreps, bq=bq, bk=bk, fuse=fuse, nsq=nsq, nskv=nskv):
             def f(q_, k_, v_, g_, lse_, dl_, cE, sE):
-                dq = q_
+                # feed ALL THREE grads forward as the next rep's q/k/v —
+                # a dq-only chain lets XLA dead-code-eliminate the dKV
+                # kernel (measured: an impossible 290 TF/s)
                 for _ in range(nreps):
-                    dq, dk, dv = attn._flash_bwd_pallas_flat(
-                        dq, k_, v_, g_, lse_, dl_, cE, sE, scale, bq, bk, d,
-                        fuse)
-                return dq
+                    q_, k_, v_ = attn._flash_bwd_pallas_flat(
+                        q_, k_, v_, g_, lse_, dl_, cE, sE, scale, bq, bk, d,
+                        fuse, nsub_dq=nsq, nsub_dkv=nskv)
+                return q_
             return f
 
         def sync(x):
@@ -115,15 +120,17 @@ def main():
                 tcs.append(time.perf_counter() - t0)
             t = (min(tcs) - min(t1s)) / (CHAIN - 1)
             tfs = flops / t / 1e12
-            results.append((tfs, bq, bk))
-            print(f"bq{bq} bk{bk}: {t * 1e3:.2f} ms  {tfs:.1f} TF/s", flush=True)
+            results.append((tfs, bq, bk, nsq, nskv))
+            print(f"bq{bq} bk{bk} nsq{nsq} nskv{nskv}: {t * 1e3:.2f} ms  "
+                  f"{tfs:.1f} TF/s", flush=True)
         except Exception as ex:  # noqa: BLE001
-            print(f"bq{bq} bk{bk}: FAILED {type(ex).__name__}: {str(ex)[:120]}",
-                  flush=True)
+            print(f"bq{bq} bk{bk} nsq{nsq} nskv{nskv}: FAILED "
+                  f"{type(ex).__name__}: {str(ex)[:120]}", flush=True)
 
     results.sort(reverse=True)
     print("\nbest:", " | ".join(
-        f"{tfs:.1f} TF/s @ bq{bq}/bk{bk}" for tfs, bq, bk in results[:3]))
+        f"{tfs:.1f} TF/s @ bq{bq}/bk{bk}/nsq{nsq}/nskv{nskv}"
+        for tfs, bq, bk, nsq, nskv in results[:3]))
 
 
 if __name__ == "__main__":

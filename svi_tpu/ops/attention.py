@@ -339,6 +339,16 @@ def _flash_fwd_pallas(q, k, v, kv_len, scale, block_q, block_k):
 # ---------------------------------------------------------------------------
 # Pallas backward kernels (flat layout, optional fused rope)
 #
+def _choose_blocks_bwd(sq: int, sk: int, d: int):
+    """(block_q, block_k, nsub_dq, nsub_dkv) for the flat backward kernels.
+    Round-3 defaults (bq=512, bk=1024, no sub-block decoupling); retuned by
+    scripts/sweep_attention_bwd_blocks.py on TPU v5e at the SVI train shape.
+    Sub-block counts require 128-lane-aligned sub-blocks."""
+    block_q = 512 if sq >= 512 else _ceil_to(max(sq, 8), 128)
+    block_k = 1024 if sk >= 1024 else _ceil_to(max(sk, 128), 128)
+    return block_q, block_k, 1, 1
+
+
 # Classic flash-attention backward split into a dQ kernel (iterates KV blocks
 # per Q block) and a dKV kernel (iterates Q blocks per KV block), both
 # recomputing p from the saved logsumexp. No masking is needed: q/k/v/g are
@@ -351,7 +361,7 @@ def _flash_fwd_pallas(q, k, v, kv_len, scale, block_q, block_k):
 
 def _bwd_dq_kernel_flat(
     q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, cq_ref, sq_ref, ck_ref, sk_ref,
-    dq_ref, acc_scr, *, scale, fuse_rope, head_dim,
+    dq_ref, acc_scr, *, scale, fuse_rope, head_dim, nsub,
 ):
     j = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -366,6 +376,7 @@ def _bwd_dq_kernel_flat(
         q = _rope_in_kernel(q, cq_ref[:], sq_ref[:], head_dim)
         k = _rope_in_kernel(k, ck_ref[:], sk_ref[:], head_dim)
     g = g_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
     # lse/delta live as (B, N, 1, Sq) rows — q positions in lanes, so the
     # score tile is computed TRANSPOSED (bk, bq) and the row vector
     # broadcasts without any lane->sublane relayout (a (…, Sq, 1) layout
@@ -373,18 +384,32 @@ def _bwd_dq_kernel_flat(
     lse = lse_ref[0, 0]  # (1, bq)
     delta = delta_ref[0, 0]  # (1, bq)
 
-    # both matmuls issued before the exp2: dp_t does not depend on s_t, so
-    # the VPU's exp2/ds math overlaps the MXU computing dp_t (same
-    # scheduling pattern as the forward's decoupled sub-blocks)
-    s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32) * scale
-    dp_t = jax.lax.dot_general(v_ref[0].astype(jnp.float32), g, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    p_t = jnp.exp2((s_t - lse) * _LOG2E)
-    ds_t = p_t * (dp_t - delta)
-    acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
-        ds_t, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    # DECOUPLED SUB-BLOCKS (same pattern as the forward): the k block is
+    # split into `nsub` independent sub-blocks whose s/dp matmuls are ALL
+    # issued before any exp2 — the VPU's exp2/ds of sub-block t overlaps
+    # the MXU computing the dq accumulation of t-1 / the matmuls of t+1.
+    # There is no online-softmax dependency here (p recomputes from the
+    # saved lse), so the split is exact.
+    h = k.shape[0] // nsub
+    ss = [
+        jax.lax.dot_general(k[t * h:(t + 1) * h], q, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+        for t in range(nsub)
+    ]
+    dps = [
+        jax.lax.dot_general(v[t * h:(t + 1) * h], g, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        for t in range(nsub)
+    ]
+    acc = acc_scr[:]
+    for t in range(nsub):
+        p_t = jnp.exp2((ss[t] - lse) * _LOG2E)
+        ds_t = p_t * (dps[t] - delta)
+        acc = acc + jax.lax.dot_general(
+            ds_t, k[t * h:(t + 1) * h], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+    acc_scr[:] = acc
 
     @pl.when(j == nk - 1)
     def _():
@@ -397,7 +422,7 @@ def _bwd_dq_kernel_flat(
 
 def _bwd_dkv_kernel_flat(
     q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, cq_ref, sq_ref, ck_ref, sk_ref,
-    dk_ref, dv_ref, dk_scr, dv_scr, *, scale, fuse_rope, head_dim,
+    dk_ref, dv_ref, dk_scr, dv_scr, *, scale, fuse_rope, head_dim, nsub,
 ):
     i = pl.program_id(3)
     nq = pl.num_programs(3)
@@ -413,22 +438,39 @@ def _bwd_dkv_kernel_flat(
         q = _rope_in_kernel(q, cq_ref[:], sq_ref[:], head_dim)
         k = _rope_in_kernel(k, ck_ref[:], sk_ref[:], head_dim)
     g = g_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
     lse = lse_ref[0, 0]  # (1, bq) — see the dq kernel's layout note
     delta = delta_ref[0, 0]  # (1, bq)
 
-    # dp_t issued before the exp2 — see the dq kernel's scheduling note
-    s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32) * scale  # (bk, bq)
-    dp_t = jax.lax.dot_general(v_ref[0].astype(jnp.float32), g, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    p_t = jnp.exp2((s_t - lse) * _LOG2E)
-    ds_t = p_t * (dp_t - delta)
-    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
-        ds_t, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
-        p_t, g, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    # decoupled sub-blocks along the q direction (lse/delta slice on the
+    # 128-aligned lane axis); all s/dp matmuls issued before any exp2 —
+    # see the dq kernel's scheduling note
+    h = q.shape[0] // nsub
+    ss = [
+        jax.lax.dot_general(k, q[t * h:(t + 1) * h], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+        for t in range(nsub)
+    ]
+    dps = [
+        jax.lax.dot_general(v, g[t * h:(t + 1) * h], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        for t in range(nsub)
+    ]
+    dk_acc = dk_scr[:]
+    dv_acc = dv_scr[:]
+    for t in range(nsub):
+        p_t = jnp.exp2((ss[t] - lse[:, t * h:(t + 1) * h]) * _LOG2E)
+        ds_t = p_t * (dps[t] - delta[:, t * h:(t + 1) * h])
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds_t, q[t * h:(t + 1) * h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p_t, g[t * h:(t + 1) * h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dk_scr[:] = dk_acc
+    dv_scr[:] = dv_acc
 
     @pl.when(i == nq - 1)
     def _():
@@ -440,9 +482,12 @@ def _bwd_dkv_kernel_flat(
 
 
 def _flash_bwd_pallas_flat(q, k, v, g, lse, delta, cosE, sinE, scale,
-                           block_q, block_k, head_dim, fuse_rope):
+                           block_q, block_k, head_dim, fuse_rope,
+                           nsub_dq=1, nsub_dkv=1):
     """All flat (B, S, N*D), zero-padded to block multiples; lse/delta
-    (B, N, 1, Sq) rows (q positions in lanes). Returns (dq, dk, dv) flat."""
+    (B, N, 1, Sq) rows (q positions in lanes). Returns (dq, dk, dv) flat.
+    nsub_dq splits the dQ kernel's k block / nsub_dkv the dKV kernel's q
+    block into decoupled sub-blocks (see the kernel scheduling notes)."""
     b, sq, nd = q.shape
     sk = k.shape[1]
     n = nd // head_dim
@@ -460,7 +505,7 @@ def _flash_bwd_pallas_flat(q, k, v, g, lse, delta, cosE, sinE, scale,
     )
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel_flat, **common),
+        functools.partial(_bwd_dq_kernel_flat, nsub=nsub_dq, **common),
         grid=(b, n, sq // block_q, sk // block_k),
         in_specs=[
             pl.BlockSpec((1, block_q, head_dim), lambda b_, n_, i, j: (b_, i, n_)),
@@ -485,7 +530,7 @@ def _flash_bwd_pallas_flat(q, k, v, g, lse, delta, cosE, sinE, scale,
         q_tab2 = k_tab2 = lambda: pl.BlockSpec((8, head_dim), lambda b_, n_, j, i: (0, 0))
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel_flat, **common),
+        functools.partial(_bwd_dkv_kernel_flat, nsub=nsub_dkv, **common),
         grid=(b, n, sk // block_k, sq // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, head_dim), lambda b_, n_, j, i: (b_, i, n_)),
@@ -744,8 +789,7 @@ def _flash_core_flat_bwd(kv_len, scale, use_pallas, use_rope, head_dim, res, g):
     # the XLA backward.
     flat_ok = head_dim % 128 == 0 or n == 1
     if use_pallas and flat_ok and kv_len == sk:
-        block_q = 512 if sq >= 512 else _ceil_to(max(sq, 8), 128)
-        block_k = 1024 if sk >= 1024 else _ceil_to(max(sk, 128), 128)
+        block_q, block_k, nsub_dq, nsub_dkv = _choose_blocks_bwd(sq, sk, head_dim)
         sq_p, sk_p = _ceil_to(sq, block_q), _ceil_to(sk, block_k)
         qp = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0))) if sq_p != sq else q
         gp = jnp.pad(g, ((0, 0), (0, sq_p - sq), (0, 0))) if sq_p != sq else g
@@ -771,6 +815,7 @@ def _flash_core_flat_bwd(kv_len, scale, use_pallas, use_rope, head_dim, res, g):
         dq, dk, dv = _flash_bwd_pallas_flat(
             qp, kp, vp, gp, lse_p[:, :, None, :], delta[:, :, None, :],
             cosE, sinE, scale, block_q, block_k, head_dim, use_rope,
+            nsub_dq=nsub_dq, nsub_dkv=nsub_dkv,
         )
         zc = jnp.zeros_like(jnp.asarray(cos, jnp.float32))
         zs = jnp.zeros_like(jnp.asarray(sin, jnp.float32))

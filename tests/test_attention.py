@@ -143,34 +143,53 @@ def test_flat_kernel_interpret_mode_nsub_masked_rope(block_k, nsub):
                                rtol=2e-5, atol=2e-5)
 
 
-def test_flat_bwd_kernels_interpret_mode():
+@pytest.mark.parametrize("block_q,block_k,nsub_dq,nsub_dkv,fuse_rope", [
+    (128, 128, 1, 1, False),   # round-3 single-tile path
+    (256, 256, 2, 2, False),   # decoupled 128-wide sub-blocks
+    (256, 256, 2, 2, True),    # sub-blocks + fused RoPE (production path)
+])
+def test_flat_bwd_kernels_interpret_mode(block_q, block_k, nsub_dq, nsub_dkv,
+                                         fuse_rope):
     """The Pallas backward kernels (dq + dkv) in interpreter mode vs
     jax.grad of the dense reference (no padding: kv_len == sk)."""
     from jax.experimental.pallas import tpu as pltpu
     from svi_tpu.ops import attention as attn_mod
+    from svi_tpu.ops.rope import apply_rope, rope_angles_for_grid
 
     rng = np.random.default_rng(7)
     b, s, n, d = 1, 256, 2, 128
     q, k, v = rand_qkv(rng, b, s, s, n, d)
     g4 = jnp.asarray(rng.standard_normal((b, s, n, d)), jnp.float32)
     scale = d ** -0.5
+    if fuse_rope:
+        cos, sin = rope_angles_for_grid((4, 8, 8), d)  # 256 tokens
 
-    def loss(q_, k_, v_):
-        return jnp.sum(dense_reference(q_, k_, v_) * g4)
+        def loss(q_, k_, v_):
+            return jnp.sum(dense_reference(
+                apply_rope(q_, cos, sin), apply_rope(k_, cos, sin), v_) * g4)
+    else:
+        def loss(q_, k_, v_):
+            return jnp.sum(dense_reference(q_, k_, v_) * g4)
 
     dq_ref, dk_ref, dv_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
 
     qf, kf, vf, gf = (t.reshape(b, s, n * d) for t in (q, k, v, g4))
-    out = dense_reference(q, k, v)
+    if fuse_rope:
+        qr, kr = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
+        cosE, sinE = attn_mod._expand_rope_tables(cos, sin, d, s)
+    else:
+        qr, kr = q, k
+        cosE = sinE = jnp.zeros((8, d), jnp.float32)
+    out = dense_reference(qr, kr, v)
     logits = jnp.einsum(
-        "bqnd,bknd->bnqk", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+        "bqnd,bknd->bnqk", qr.astype(jnp.float32), kr.astype(jnp.float32)) * scale
     lse = jax.scipy.special.logsumexp(logits, axis=-1)  # (b, n, s)
     delta = jnp.einsum("bsnd,bsnd->bns", g4, out)
-    cosE = sinE = jnp.zeros((8, d), jnp.float32)
     with pltpu.force_tpu_interpret_mode():
         dq, dk, dv = attn_mod._flash_bwd_pallas_flat(
             qf, kf, vf, gf, lse[:, :, None, :], delta[:, :, None, :],
-            cosE, sinE, scale, 128, 128, d, fuse_rope=False,
+            cosE, sinE, scale, block_q, block_k, d, fuse_rope=fuse_rope,
+            nsub_dq=nsub_dq, nsub_dkv=nsub_dkv,
         )
     np.testing.assert_allclose(np.asarray(dq.reshape(b, s, n, d)),
                                np.asarray(dq_ref), rtol=2e-4, atol=2e-4)
