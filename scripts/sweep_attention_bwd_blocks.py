@@ -35,6 +35,12 @@ def main():
                     help="comma-separated bq:bk or bq:bk:nsub_dq:nsub_dkv; "
                          "empty = full grid at nsub 1/1")
     ap.add_argument("--chain", type=int, default=5)
+    ap.add_argument("--onepass", action="store_true", default=False,
+                    help="time the one-pass fused backward instead of the "
+                         "dQ+dKV split (configs are bq_inner:bk pairs; RoPE "
+                         "is XLA-level for this kernel, so --rope is ignored)")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="fori_loop unroll for the one-pass kernel")
     args = ap.parse_args()
 
     import jax
@@ -80,9 +86,15 @@ def main():
         k = jnp.asarray(rng.standard_normal((b, sk_p, n * d)) * 0.3, jnp.bfloat16)
         v = jnp.asarray(rng.standard_normal((b, sk_p, n * d)) * 0.3, jnp.bfloat16)
         g = jnp.asarray(rng.standard_normal((b, sq_p, n * d)) * 0.3, jnp.bfloat16)
-        lse = jnp.asarray(rng.standard_normal((b, n, 1, sq_p)) * 2.0, jnp.float32)
-        delta = jnp.asarray(rng.standard_normal((b, n, 1, sq_p)), jnp.float32)
-        if args.rope:
+        if args.onepass:
+            lse = jnp.asarray(
+                rng.standard_normal((b, n, sq_p // bq, bq)) * 2.0, jnp.float32)
+            delta = jnp.asarray(
+                rng.standard_normal((b, n, sq_p // bq, bq)), jnp.float32)
+        else:
+            lse = jnp.asarray(rng.standard_normal((b, n, 1, sq_p)) * 2.0, jnp.float32)
+            delta = jnp.asarray(rng.standard_normal((b, n, 1, sq_p)), jnp.float32)
+        if args.rope and not args.onepass:
             tab_pad = ceil_to(max(sq_p, sk_p), max(bq, bk))
             cosE, sinE = attn._expand_rope_tables(cos, sin, d, tab_pad)
             fuse = True
@@ -96,9 +108,15 @@ def main():
                 # a dq-only chain lets XLA dead-code-eliminate the dKV
                 # kernel (measured: an impossible 290 TF/s)
                 for _ in range(nreps):
-                    q_, k_, v_ = attn._flash_bwd_pallas_flat(
-                        q_, k_, v_, g_, lse_, dl_, cE, sE, scale, bq, bk, d,
-                        fuse, nsub_dq=nsq, nsub_dkv=nskv)
+                    if args.onepass:
+                        dq32, k_, v_ = attn._flash_bwd_onepass_pallas_flat(
+                            q_, k_, v_, g_, lse_, dl_, scale, bq, bk, d,
+                            unroll=args.unroll)
+                        q_ = dq32.astype(jnp.bfloat16)
+                    else:
+                        q_, k_, v_ = attn._flash_bwd_pallas_flat(
+                            q_, k_, v_, g_, lse_, dl_, cE, sE, scale, bq, bk,
+                            d, fuse, nsub_dq=nsq, nsub_dkv=nskv)
                 return q_
             return f
 

@@ -481,6 +481,142 @@ def _bwd_dkv_kernel_flat(
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+# ---------------------------------------------------------------------------
+# One-pass fused backward: the split dQ/dKV design executes 7 matmul-units
+# per (q block, kv block) pair (both kernels recompute s and dp), i.e. 1.4x
+# the canonical 5. This kernel grids over KV blocks only and keeps the FULL
+# q/g/lse/delta rows (plus the f32 dq accumulator) VMEM-resident per
+# (batch, head), walking q chunks in an in-kernel fori_loop — so s/dp are
+# computed once and all five gradients come out of one pass. RoPE is NOT
+# fused here: q/k are pre-rotated (and dq/dk inverse-rotated) at the XLA
+# level, whose cost is two elementwise passes — noise against the O(S^2)
+# kernel. VMEM residency is ~(2+2+4)*S*D bytes per (b, n), so the caller
+# gates on sequence length (_onepass_bwd_ok).
+# ---------------------------------------------------------------------------
+
+
+def _bwd_onepass_kernel_flat(
+    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+    dq_ref, dk_ref, dv_ref, *, scale, block_q, head_dim, unroll=1,
+):
+    j = pl.program_id(2)
+    first = j == 0
+    k = k_ref[0].astype(jnp.float32)   # (bk, d)
+    v = v_ref[0].astype(jnp.float32)
+    nq = lse_ref.shape[2]
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        rows = pl.ds(i * block_q, block_q)
+        qc = q_ref[0, rows, :].astype(jnp.float32)   # (bq, d)
+        gc = g_ref[0, rows, :].astype(jnp.float32)
+        # lse/delta blocks are (1, 1, nq, bq): q chunks live as SUBLANES so
+        # chunk i is a supported sublane slice (a lane slice of a flat
+        # (1, Sq) row trips Mosaic's lane-relayout)
+        lse = lse_ref[0, 0, pl.ds(i, 1), :]          # (1, bq)
+        dl = delta_ref[0, 0, pl.ds(i, 1), :]
+        # score tiles TRANSPOSED (bk, bq) so the lse/delta rows broadcast
+        # over sublanes (see the split kernels' layout note); both matmuls
+        # issue before the exp2 so VPU softmax overlaps the MXU
+        s_t = jax.lax.dot_general(k, qc, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32) * scale
+        dp_t = jax.lax.dot_general(v, gc, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        p_t = jnp.exp2((s_t - lse) * _LOG2E)
+        ds_t = p_t * (dp_t - dl)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds_t, qc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p_t, gc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dq_c = jax.lax.dot_general(
+            ds_t, k, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (bq, d)
+        # dq accumulates ACROSS kv blocks directly in the pinned f32 output
+        # block; at j == 0 the select discards the uninitialized buffer
+        prev = dq_ref[0, rows, :]
+        dq_ref[0, rows, :] = jnp.where(first, dq_c, prev + dq_c)
+        return dk_acc, dv_acc
+
+    z = jnp.zeros((k.shape[0], head_dim), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(0, nq, body, (z, z), unroll=unroll)
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _flash_bwd_onepass_pallas_flat(q, k, v, g, lse, delta, scale,
+                                   block_q, block_k, head_dim, unroll=None):
+    """One-pass backward. q/g: (B, Sq, N*D) flat zero-padded to block_q
+    multiples (RoPE already applied if any); k/v likewise to block_k;
+    lse/delta (B, N, Sq/block_q, block_q) f32. Returns (dq_f32, dk, dv).
+    unroll: fori_loop unroll — Mosaic supports only 1 or full (=nq). Full
+    unroll overlaps chunk t's VPU softmax with t±1's matmuls and measures
+    +1.8% (175.3 → 178.4 TF/s at the train shape) but balloons the Mosaic
+    compile from ~4 min to >22 min for the 1.3B train step, so the default
+    stays 1 (sweepable via scripts/sweep_attention_bwd_blocks.py --unroll)."""
+    b, sq, nd = q.shape
+    sk = k.shape[1]
+    n = nd // head_dim
+    nq = sq // block_q
+    if unroll is None:
+        unroll = 1
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_onepass_kernel_flat, scale=scale,
+                          block_q=block_q, head_dim=head_dim, unroll=unroll),
+        grid=(b, n, sk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, sq, head_dim), lambda b_, n_, j: (b_, 0, n_)),
+            pl.BlockSpec((1, block_k, head_dim), lambda b_, n_, j: (b_, j, n_)),
+            pl.BlockSpec((1, block_k, head_dim), lambda b_, n_, j: (b_, j, n_)),
+            pl.BlockSpec((1, sq, head_dim), lambda b_, n_, j: (b_, 0, n_)),
+            pl.BlockSpec((1, 1, nq, block_q), lambda b_, n_, j: (b_, n_, 0, 0)),
+            pl.BlockSpec((1, 1, nq, block_q), lambda b_, n_, j: (b_, n_, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, sq, head_dim), lambda b_, n_, j: (b_, 0, n_)),
+            pl.BlockSpec((1, block_k, head_dim), lambda b_, n_, j: (b_, j, n_)),
+            pl.BlockSpec((1, block_k, head_dim), lambda b_, n_, j: (b_, j, n_)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq, nd), jnp.float32),
+            jax.ShapeDtypeStruct((b, sk, nd), k.dtype),
+            jax.ShapeDtypeStruct((b, sk, nd), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # full-row q/g (bf16) + f32 dq + score tiles + double buffering
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(q, k, v, g, lse, delta)
+    return dq, dk, dv
+
+
+def _onepass_bwd_ok(sq_p: int, sk: int, head_dim: int) -> bool:
+    """Gate for the one-pass backward: full q/g/dq rows for one (b, n) must
+    fit VMEM ((2+2+4)*Sq*D bytes resident + ~32MB of score tiles within the
+    100MB budget), and the sequence must be long enough for the resident-row
+    design to pay off. Covers the SVI flagship (S=32760: 33.5MB resident);
+    longer sequences fall back to the split kernels."""
+    if head_dim != 128:
+        return False
+    resident = 8 * sq_p * head_dim  # q/g bf16 + dq f32
+    return sq_p >= 4096 and sk >= 4096 and resident <= 36 * 1024 * 1024
+
+
+def _choose_blocks_bwd_onepass(sq_p: int, sk: int):
+    """(block_q_inner, block_k) for the one-pass backward. Swept on TPU v5e
+    at the SVI train shape (s=32760, d=128) by
+    scripts/sweep_attention_bwd_blocks.py --onepass: 1024/2048 = 175.3 TF/s
+    canonical (vs 173.0 at 1024/1024, 171.3 at 512/2048, 170.4 at 512/1024;
+    2048-wide q chunks and 4096-wide k blocks exceed VMEM). The split-kernel
+    baseline at the same shape is 126.7 canonical — 1.38x."""
+    block_k = 2048 if sk >= 2048 else _ceil_to(max(sk, 128), 128)
+    block_q = 1024 if sq_p >= 1024 else _ceil_to(max(sq_p, 8), 128)
+    return block_q, block_k
+
+
 def _flash_bwd_pallas_flat(q, k, v, g, lse, delta, cosE, sinE, scale,
                            block_q, block_k, head_dim, fuse_rope,
                            nsub_dq=1, nsub_dkv=1):
@@ -788,6 +924,48 @@ def _flash_core_flat_bwd(kv_len, scale, use_pallas, use_rope, head_dim, res, g):
     # kernels skip masking entirely. kv_len < sk (SP shards) falls back to
     # the XLA backward.
     flat_ok = head_dim % 128 == 0 or n == 1
+    if use_pallas and flat_ok and kv_len == sk and _onepass_bwd_ok(
+            _ceil_to(sq, 1024), sk, head_dim):
+        # one-pass fused backward (5 matmul-units vs the split kernels' 7);
+        # RoPE handled at the XLA level around the kernel
+        if use_rope:
+            q = _apply_rope_xla(
+                q.reshape(b, sq, n, head_dim), cos, sin).reshape(b, sq, nd)
+            k = _apply_rope_xla(
+                k.reshape(b, sk, n, head_dim), cos, sin).reshape(b, sk, nd)
+        block_q, block_k = _choose_blocks_bwd_onepass(_ceil_to(sq, 1024), sk)
+        sq_p, sk_p = _ceil_to(sq, block_q), _ceil_to(sk, block_k)
+        qp = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0))) if sq_p != sq else q
+        gp = jnp.pad(g, ((0, 0), (0, sq_p - sq), (0, 0))) if sq_p != sq else g
+        kp = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else k
+        vp = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else v
+        delta = jnp.einsum(
+            "bsnd,bsnd->bns",
+            g.reshape(b, sq, n, head_dim), out.reshape(b, sq, n, head_dim),
+            preferred_element_type=jnp.float32,
+        )
+        lse_p = lse
+        if sq_p != sq:
+            delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_p - sq)))
+            lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_p - sq)))
+        nq = sq_p // block_q
+        dq32, dk, dv = _flash_bwd_onepass_pallas_flat(
+            qp, kp, vp, gp, lse_p.reshape(b, n, nq, block_q),
+            delta.reshape(b, n, nq, block_q), scale, block_q, block_k,
+            head_dim,
+        )
+        dq = dq32[:, :sq].astype(q.dtype)
+        dk, dv = dk[:, :sk], dv[:, :sk]
+        if use_rope:
+            dq = _apply_rope_xla(
+                dq.reshape(b, sq, n, head_dim), cos, sin,
+                inverse=True).reshape(b, sq, nd)
+            dk = _apply_rope_xla(
+                dk.reshape(b, sk, n, head_dim), cos, sin,
+                inverse=True).reshape(b, sk, nd)
+        zc = jnp.zeros_like(jnp.asarray(cos, jnp.float32))
+        zs = jnp.zeros_like(jnp.asarray(sin, jnp.float32))
+        return dq, dk, dv, zc, zs
     if use_pallas and flat_ok and kv_len == sk:
         block_q, block_k, nsub_dq, nsub_dkv = _choose_blocks_bwd(sq, sk, head_dim)
         sq_p, sk_p = _ceil_to(sq, block_q), _ceil_to(sk, block_k)

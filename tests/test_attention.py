@@ -197,3 +197,49 @@ def test_flat_bwd_kernels_interpret_mode(block_q, block_k, nsub_dq, nsub_dkv,
                                np.asarray(dk_ref), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(dv.reshape(b, s, n, d)),
                                np.asarray(dv_ref), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("block_q,block_k,pad_q", [
+    (128, 128, 0),    # exact blocks
+    (64, 256, 64),    # padded q rows + rectangular blocking
+])
+def test_onepass_bwd_kernel_interpret_mode(block_q, block_k, pad_q):
+    """The one-pass fused backward kernel in interpreter mode vs jax.grad
+    of the dense reference (kv_len == sk; zero-padded q rows)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from svi_tpu.ops import attention as attn_mod
+
+    rng = np.random.default_rng(11)
+    b, s, n, d = 2, 256, 2, 128
+    q, k, v = rand_qkv(rng, b, s, s, n, d)
+    g4 = jnp.asarray(rng.standard_normal((b, s, n, d)), jnp.float32)
+    scale = d ** -0.5
+
+    def loss(q_, k_, v_):
+        return jnp.sum(dense_reference(q_, k_, v_) * g4)
+
+    dq_ref, dk_ref, dv_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    out = dense_reference(q, k, v)
+    logits = jnp.einsum(
+        "bqnd,bknd->bnqk", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)  # (b, n, s)
+    delta = jnp.einsum("bsnd,bsnd->bns", g4, out)
+    sp = s + pad_q
+    qf = jnp.pad(q.reshape(b, s, n * d), ((0, 0), (0, pad_q), (0, 0)))
+    gf = jnp.pad(g4.reshape(b, s, n * d), ((0, 0), (0, pad_q), (0, 0)))
+    kf, vf = (t.reshape(b, s, n * d) for t in (k, v))
+    lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, pad_q)))
+    delta_p = jnp.pad(delta, ((0, 0), (0, 0), (0, pad_q)))
+    nq = sp // block_q
+    with pltpu.force_tpu_interpret_mode():
+        dq32, dk, dv = attn_mod._flash_bwd_onepass_pallas_flat(
+            qf, kf, vf, gf, lse_p.reshape(b, n, nq, block_q),
+            delta_p.reshape(b, n, nq, block_q), scale, block_q, block_k, d,
+        )
+    np.testing.assert_allclose(np.asarray(dq32[:, :s].reshape(b, s, n, d)),
+                               np.asarray(dq_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk.reshape(b, s, n, d)),
+                               np.asarray(dk_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv.reshape(b, s, n, d)),
+                               np.asarray(dv_ref), rtol=2e-4, atol=2e-4)
