@@ -22,6 +22,7 @@ checkpoints that diffsynth loads, wan_video_dit.py:655-712).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Optional
 
@@ -634,7 +635,7 @@ def pick_remat_group(num_layers: int) -> int:
     return best
 
 
-def scan_blocks_remat(body, carry, xs, *, group=None):
+def scan_blocks_remat(body, carry, xs, *, group=None, policy=None):
     """`lax.scan` over the stacked block pytree with optional two-level
     (square-root) rematerialization.
 
@@ -659,7 +660,7 @@ def scan_blocks_remat(body, carry, xs, *, group=None):
         lambda a: a.reshape((length // group, group) + a.shape[1:]), xs
     )
 
-    @jax.checkpoint
+    @functools.partial(jax.checkpoint, policy=policy)
     def group_fn(c, xg):
         c, _ = jax.lax.scan(step, c, xg)
         return c
@@ -671,11 +672,18 @@ def scan_blocks_remat(body, carry, xs, *, group=None):
 def forward_blocks(params, cfg: WanDiTConfig, tokens, ctx, t_mod, grid, use_remat=False,
                    lora=None, lora_scale: float = 1.0, num_img_tokens: int = 257,
                    audio_embed=None, block_add_condition=None,
-                   remat_granularity: Optional[int] = None):
+                   remat_granularity: Optional[int] = None,
+                   save_attention: bool = False):
     """The scanned DiT block stack (wan_video_dit.py:547-563). `lora` is an
     optional stacked per-block pytree of unfused adapters (training).
     remat_granularity: blocks per outer checkpoint group (sqrt-remat, see
-    scan_blocks_remat); only meaningful with use_remat."""
+    scan_blocks_remat); only meaningful with use_remat.
+    save_attention: with use_remat, save each block's flash-attention
+    out/lse at forward time (checkpoint_name policy) so the backward's
+    block recompute rebuilds only the q/k/v projections and skips the
+    O(S^2) attention kernel — ~11% faster 1.3B train step for
+    +(S x dim) bf16 per block of activation memory (100 MB/block at
+    480p/81f; fine for 1.3B's 30 blocks, too much for 14B's 40 x 335 MB)."""
     cos, sin = rope_angles_for_grid(grid, cfg.head_dim)
     customtalk_carry = cfg.enable_customtalk and audio_embed is not None
 
@@ -685,8 +693,12 @@ def forward_blocks(params, cfg: WanDiTConfig, tokens, ctx, t_mod, grid, use_rema
                          audio_embed=audio_embed, num_frames=grid[0],
                          add_condition=cond)
 
+    policy = None
+    if use_remat and save_attention:
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "flash_out", "flash_lse")
     if use_remat:
-        block_fn = jax.checkpoint(block_fn)
+        block_fn = jax.checkpoint(block_fn, policy=policy)
     group = remat_granularity if use_remat else None
 
     if customtalk_carry:
@@ -705,7 +717,8 @@ def forward_blocks(params, cfg: WanDiTConfig, tokens, ctx, t_mod, grid, use_rema
 
         xs = params["blocks"] if lora is None else (params["blocks"], lora)
         tokens, _ = scan_blocks_remat(
-            ct_body, (tokens, cond0.astype(tokens.dtype)), xs, group=group
+            ct_body, (tokens, cond0.astype(tokens.dtype)), xs, group=group,
+            policy=policy,
         )
         return tokens
 
@@ -713,14 +726,16 @@ def forward_blocks(params, cfg: WanDiTConfig, tokens, ctx, t_mod, grid, use_rema
         def scan_body(tok, bp):
             return block_fn(tok, bp, None)
 
-        tokens = scan_blocks_remat(scan_body, tokens, params["blocks"], group=group)
+        tokens = scan_blocks_remat(scan_body, tokens, params["blocks"],
+                                   group=group, policy=policy)
     else:
         def scan_body(tok, xs):
             bp, lbp = xs
             return block_fn(tok, bp, lbp)
 
         tokens = scan_blocks_remat(
-            scan_body, tokens, (params["blocks"], lora), group=group
+            scan_body, tokens, (params["blocks"], lora), group=group,
+            policy=policy,
         )
     return tokens
 
@@ -745,6 +760,7 @@ def forward(
     lora_scale: float = 1.0,
     audio_embed_tuple=None,
     remat_granularity: Optional[int] = None,
+    save_attention: bool = False,
 ) -> jax.Array:
     """Full DiT forward (wan_video_dit.py:486-567 / svi_video.py:74-137).
 
@@ -769,6 +785,7 @@ def forward(
         audio_embed=audio_embed,
         block_add_condition=add_condition if cfg.enable_customtalk else None,
         remat_granularity=remat_granularity,
+        save_attention=save_attention,
     )
     return forward_head(params, cfg, tokens, t, grid)
 

@@ -40,6 +40,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -835,12 +836,54 @@ def _apply_rope_xla(x4, cos, sin, inverse=False):
     return out.astype(x4.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+# The differentiable core is layered so REMAT POLICIES can skip the forward
+# kernel during block recompute: the raw forward's (out, lse) are
+# stop_gradient-ed, tagged with jax.ad_checkpoint.checkpoint_name, and fed
+# INTO a custom_vjp whose fwd is the identity on `out` and whose bwd is the
+# flash backward. Without remat this is exactly the classic custom_vjp
+# (identical residuals, zero overhead). Under
+# jax.checkpoint(..., policy=save_only_these_names('flash_out','flash_lse'))
+# the tagged values are saved at forward time, so the backward's block
+# recompute rebuilds only the cheap q/k/v projections and skips the O(S^2)
+# attention kernel entirely — 2 of the 9 executed matmul-units per
+# rematted block backward (see wan_dit.forward_blocks(save_attention=True)).
+
+
 def _flash_core_flat(q, k, v, cos, sin, kv_len, scale, use_pallas, use_rope, head_dim):
-    out, _ = _flash_core_flat_fwd(
-        q, k, v, cos, sin, kv_len, scale, use_pallas, use_rope, head_dim
+    # the raw forward runs on stop_gradient-ed inputs so it carries no
+    # tangents at all (pallas_call has no JVP rule); gradients flow solely
+    # through _attn_with_saved's custom bwd
+    out, res = _flash_core_flat_fwd(
+        jax.lax.stop_gradient(q), jax.lax.stop_gradient(k),
+        jax.lax.stop_gradient(v), jax.lax.stop_gradient(cos),
+        jax.lax.stop_gradient(sin), kv_len, scale, use_pallas, use_rope,
+        head_dim,
     )
+    lse = res[-1]
+    out_sg = checkpoint_name(out, "flash_out")
+    lse_sg = checkpoint_name(lse, "flash_lse")
+    return _attn_with_saved(q, k, v, cos, sin, out_sg, lse_sg, kv_len, scale,
+                            use_pallas, use_rope, head_dim)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _attn_with_saved(q, k, v, cos, sin, out, lse, kv_len, scale, use_pallas,
+                     use_rope, head_dim):
     return out
+
+
+def _attn_with_saved_fwd(q, k, v, cos, sin, out, lse, kv_len, scale,
+                         use_pallas, use_rope, head_dim):
+    return out, (q, k, v, cos, sin, out, lse)
+
+
+def _attn_with_saved_bwd(kv_len, scale, use_pallas, use_rope, head_dim, res, g):
+    dq, dk, dv, zc, zs = _flash_core_flat_bwd(
+        kv_len, scale, use_pallas, use_rope, head_dim, res, g
+    )
+    _, _, _, _, _, out, lse = res
+    # out/lse arrive through stop_gradient — their cotangents are dropped
+    return dq, dk, dv, zc, zs, jnp.zeros_like(out), jnp.zeros_like(lse)
 
 
 def _flash_core_flat_fwd(q, k, v, cos, sin, kv_len, scale, use_pallas, use_rope, head_dim):
@@ -1030,7 +1073,7 @@ def _flash_core_flat_bwd(kv_len, scale, use_pallas, use_rope, head_dim, res, g):
     )
 
 
-_flash_core_flat.defvjp(_flash_core_flat_fwd, _flash_core_flat_bwd)
+_attn_with_saved.defvjp(_attn_with_saved_fwd, _attn_with_saved_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -181,6 +181,7 @@ def forward_sp(
     ring: bool = False,
     audio_embed_tuple=None,
     remat_granularity: Optional[int] = None,
+    save_attention: bool = False,
 ) -> jax.Array:
     """Sequence-parallel equivalent of wan_dit.forward. Call under jit with
     `mesh`'s axes ('data', 'sp'); batch shards over 'data'. Supports the
@@ -235,8 +236,12 @@ def forward_sp(
                 num_frames=grid[0], add_condition=cond,
             )
 
+        policy = None
+        if use_remat and save_attention:
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "flash_out", "flash_lse")
         if use_remat:
-            block_fn = jax.checkpoint(block_fn)
+            block_fn = jax.checkpoint(block_fn, policy=policy)
         group = remat_granularity if use_remat else None
 
         if customtalk_carry:
@@ -249,17 +254,20 @@ def forward_sp(
                 return (tk, cond)
 
             xs = blocks if lora_ is None else (blocks, lora_)
-            tok, _ = wan_dit.scan_blocks_remat(ct_body, (tok, cond_), xs, group=group)
+            tok, _ = wan_dit.scan_blocks_remat(ct_body, (tok, cond_), xs,
+                                               group=group, policy=policy)
         elif lora_ is None:
             def scan_body(tk, bp):
                 return block_fn(tk, bp, None)
 
-            tok = wan_dit.scan_blocks_remat(scan_body, tok, blocks, group=group)
+            tok = wan_dit.scan_blocks_remat(scan_body, tok, blocks,
+                                            group=group, policy=policy)
         else:
             def scan_body(tk, xs):
                 return block_fn(tk, *xs)
 
-            tok = wan_dit.scan_blocks_remat(scan_body, tok, (blocks, lora_), group=group)
+            tok = wan_dit.scan_blocks_remat(scan_body, tok, (blocks, lora_),
+                                            group=group, policy=policy)
         # shard-local head (wan_dit.head): modulated norm + output projection
         return wan_dit.head({"head": head_params}, cfg, tok, t_)
 

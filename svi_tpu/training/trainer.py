@@ -47,6 +47,11 @@ class TrainerConfig:
     # sqrt(L)), n>1 = explicit group size. Cuts AD-saved block carries from
     # L to L/n + n — what fits 14B LoRA training on a single chip.
     remat_granularity: int = 1
+    # save each block's flash-attention out/lse at forward time so the
+    # backward's block recompute skips the O(S^2) kernel (see
+    # wan_dit.forward_blocks). Costs (S x dim) bf16 per block of activation
+    # memory: right for <=1.3B configs, too much for 14B on one chip.
+    save_attention_activations: bool = False
     # error recycling (ref :684-712)
     use_error_recycling: bool = True
     error_buffer_k: int = 500
@@ -102,7 +107,7 @@ def merge_customtalk_params(base_params, ct):
 
 def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=True,
                     mesh=None, train_pose: bool = False, train_customtalk: bool = False,
-                    remat_granularity: int = 1):
+                    remat_granularity: int = 1, save_attention: bool = False):
     """Returns jitted train_step(lora, opt_state, base_params, batch) ->
     (lora, opt_state, metrics dict with loss/noise_error/y_error).
 
@@ -130,6 +135,7 @@ def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=T
                 mesh=mesh, lora=lora, lora_scale=lora_scale, use_remat=use_remat,
                 audio_embed_tuple=audio_embed_tuple,
                 remat_granularity=remat_granularity,
+                save_attention=save_attention,
             )
         return wan_dit.forward(
             base_params, dit_cfg, noisy, timestep, context,
@@ -137,6 +143,7 @@ def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=T
             use_remat=use_remat, lora=lora, lora_scale=lora_scale,
             audio_embed_tuple=audio_embed_tuple,
             remat_granularity=remat_granularity,
+            save_attention=save_attention,
         )
 
     def loss_fn(trainable, base_params, batch):
@@ -260,6 +267,7 @@ class ErrorRecyclingTrainer:
             train_pose=self.cfg.train_pose,
             train_customtalk=self.cfg.train_architecture == "customtalk",
             remat_granularity=self.cfg.remat_granularity,
+            save_attention=self.cfg.save_attention_activations,
         )
 
     @property
