@@ -299,6 +299,34 @@ def main():
             "train_step_compile_seconds": round(t_train_compile, 1),
         }
         _log(f"train step {train_detail['train_step_seconds_1_3B_lora128']}s")
+
+        # save-attention remat variant (the production recipe at <=1.3B):
+        # flash out/lse saved at forward time so the backward's block
+        # recompute skips the O(S^2) kernel — ~3GB extra activations at
+        # 480p/81f, identity-tested in test_training.py
+        try:
+            del step_train
+            step_sa = trainer_mod.make_train_step(
+                dit_cfg, schedule, optimizer, lora_scale=1.0, use_remat=True,
+                mesh=None, save_attention=True,
+            )
+            try:
+                trainable, opt_state, m = step_sa(trainable, opt_state, dit_params, tbatch)
+            except Exception:  # the axon remote-compile helper 500s transiently
+                trainable, opt_state, m = step_sa(trainable, opt_state, dit_params, tbatch)
+            _ = float(m["loss"])
+            t0 = time.perf_counter()
+            trainable, opt_state, m = step_sa(trainable, opt_state, dit_params, tbatch)
+            _ = float(m["loss"])
+            train_detail["train_step_seconds_1_3B_lora128_save_attn"] = round(
+                time.perf_counter() - t0, 3)
+            step_train = None
+            del step_sa
+            _log(f"train step (save_attention) "
+                 f"{train_detail['train_step_seconds_1_3B_lora128_save_attn']}s")
+        except Exception as ex:  # noqa: BLE001
+            step_train = None
+            train_detail["train_step_save_attn_error"] = f"{type(ex).__name__}: {ex}"[:200]
     except Exception as ex:  # train-step bench must not kill the headline metric
         train_detail = {"train_step_error": f"{type(ex).__name__}: {ex}"[:200]}
     finally:

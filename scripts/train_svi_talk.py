@@ -87,8 +87,9 @@ def main():
     for epoch in range(args.max_epochs):
         order = list(range(len(ds)))
         rng.shuffle(order)
-        for idx in order:
-            item = ds[idx]
+        from svi_tpu.training.dataset import prefetch_samples
+
+        for item in prefetch_samples(ds, order):
             ctx = np.asarray(prompter.encode_prompt(item["text"]), np.float32)
             latents = np.asarray(vae_encode(vae_params, jnp.asarray(item["video"][None])), np.float32)
             image_emb = enc_pipe.encode_images_adaptive(

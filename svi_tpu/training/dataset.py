@@ -319,3 +319,39 @@ class TalkVideoDataset(TextVideoDataset):
             "first_ref_frames": [proc[i] for i in range(num_ref)],
             "random_ref_frame": proc[self.rng.randint(0, len(idxs) - 1)],
         }
+
+
+def prefetch_samples(ds, indices, depth: int = 2):
+    """Yield ``ds[i]`` for each index, read ahead on ONE background thread.
+
+    Host-side video decode (cv2 frame reads + crop/resize, the dominant
+    per-sample host cost) overlaps the device train step — the TPU-side
+    analog of the reference's Lightning ``DataLoader(num_workers=...)``
+    (ref train_svi.py:1408-1414). A single worker preserves the dataset's
+    RNG call order, so the yielded samples are bit-identical to the
+    synchronous ``for i in indices: ds[i]`` loop. Exceptions raised by the
+    dataset (after its own bounded resampling) propagate to the consumer.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, int(depth)))
+    done = object()
+
+    def _worker():
+        try:
+            for i in indices:
+                q.put(ds[i])
+        except BaseException as ex:  # noqa: BLE001 — re-raised in consumer
+            q.put(ex)
+            return
+        q.put(done)
+
+    threading.Thread(target=_worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

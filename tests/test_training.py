@@ -287,6 +287,34 @@ def test_dataset_on_toy_train():
     assert isinstance(item["text"], str) and len(item["text"]) > 0
 
 
+def test_prefetch_samples_identical_and_propagates():
+    """prefetch_samples: single-worker read-ahead yields exactly the
+    synchronous ds[i] sequence (one worker preserves the dataset RNG call
+    order) and re-raises dataset exceptions in the consumer."""
+    import os
+
+    from svi_tpu.training.dataset import TextVideoDataset, prefetch_samples
+
+    base = os.path.join(os.path.dirname(__file__), "..", "data", "toy_train", "svi-film-shot")
+    order = [1, 0, 1]
+    ds1 = TextVideoDataset(base, max_num_frames=5, height=32, width=48, seed=3)
+    sync = [ds1[i] for i in order]
+    ds2 = TextVideoDataset(base, max_num_frames=5, height=32, width=48, seed=3)
+    pre = list(prefetch_samples(ds2, order))
+    assert len(pre) == len(sync)
+    for a, b in zip(pre, sync):
+        assert a["text"] == b["text"]
+        np.testing.assert_array_equal(a["video"], b["video"])
+        np.testing.assert_array_equal(a["random_ref_frame"], b["random_ref_frame"])
+
+    class Boom:
+        def __getitem__(self, i):
+            raise ValueError("bad sample")
+
+    with pytest.raises(ValueError, match="bad sample"):
+        list(prefetch_samples(Boom(), [0]))
+
+
 def test_full_checkpoint_resume(tmp_path):
     """Orbax full-state save/restore: LoRA + optimizer + buffers + RNG."""
     trainer = make_trainer()
