@@ -164,7 +164,10 @@ def main():
         os.makedirs(out_dir, exist_ok=True)
         base_name = f"i2v_{sample['prompt_name']}_cfgt{args.cfg_scale_text}_step{args.num_steps}_{ts}"
 
+        from svi_tpu.utils.video import AsyncVideoSaver
+
         video_list = []
+        saver = AsyncVideoSaver()
         for chunk_idx in range(num_clips):
             seed = None if args.seed_times == -1 else int(chunk_idx * args.seed_times)
             if args.use_first_prompt_only:
@@ -199,7 +202,10 @@ def main():
                 video_list += video[: -args.num_motion_frames]
             else:
                 video_list += video
-            save_video(video_list, os.path.join(out_dir, f"{base_name}.mp4"), fps=24, quality=8)
+            frames_now = list(video_list)  # snapshot; the saver runs async
+            saver.submit(lambda f=frames_now: save_video(
+                f, os.path.join(out_dir, f"{base_name}.mp4"), fps=24, quality=8))
+        saver.close()
         print(f"  saved {len(video_list)} frames to {out_dir}")
 
 

@@ -115,7 +115,10 @@ def main():
     ts = datetime.now().strftime("%Y%m%d_%H%M%S")
     os.makedirs(args.output, exist_ok=True)
     base = f"dance_cfgt{args.cfg_scale_text}_step{args.num_steps}_{ts}"
+    from svi_tpu.utils.video import AsyncVideoSaver
+
     video_list = []
+    saver = AsyncVideoSaver()
     for chunk_idx in range(args.num_clips):
         print(f"clip {chunk_idx + 1}/{args.num_clips}")
         video = pipe(
@@ -139,7 +142,9 @@ def main():
             video_list += video[: -args.num_motion_frames]
         else:
             video_list += video
-        save_video(video_list, os.path.join(args.output, f"{base}.mp4"), fps=25, quality=5)
+        frames_now = list(video_list)  # snapshot; the saver runs async
+        saver.submit(lambda f=frames_now: save_video(
+            f, os.path.join(args.output, f"{base}.mp4"), fps=25, quality=5))
 
         # advance rolling pose window keeping motion-frame poses (ref :281-288)
         new_pose = np.zeros_like(humanpose)
@@ -149,6 +154,7 @@ def main():
             new_pose[:, i] = pose[:, sampled_idx]
             sampled_idx += 1
         humanpose = new_pose
+    saver.close()
     print(f"saved {len(video_list)} frames")
 
 

@@ -115,7 +115,10 @@ def main():
     ts = datetime.now().strftime("%Y%m%d_%H%M%S")
     os.makedirs(args.output, exist_ok=True)
     base = f"talk_cfga{args.cfg_scale_audio}_cfgt{args.cfg_scale_text}_step{args.num_steps}_{ts}"
+    from svi_tpu.utils.video import AsyncVideoSaver
+
     video_list = []
+    saver = AsyncVideoSaver()
     for chunk_idx in range(args.num_clips):
         audio_start_idx = chunk_idx * 81
         if audio_start_idx > 0:
@@ -140,14 +143,20 @@ def main():
         motion_frames = video[-args.num_motion_frames:]
         video_list += video  # talk keeps overlap frames (ref :304-308)
         out = os.path.join(args.output, f"{base}_chunk_{chunk_idx + 1:02d}.mp4")
-        save_video(video_list, out, fps=25, quality=8)
-        if shutil.which("ffmpeg") and os.path.exists(args.audio_path):
-            muxed = out.replace(".mp4", "_with_audio.mp4")
-            subprocess.run(
-                ["ffmpeg", "-y", "-i", out, "-i", args.audio_path, "-c:v", "copy",
-                 "-c:a", "aac", "-shortest", muxed],
-                check=False, capture_output=True,
-            )
+        frames_now = list(video_list)  # snapshot; the saver runs async
+
+        def _save_and_mux(frames=frames_now, out=out):
+            save_video(frames, out, fps=25, quality=8)
+            if shutil.which("ffmpeg") and os.path.exists(args.audio_path):
+                muxed = out.replace(".mp4", "_with_audio.mp4")
+                subprocess.run(
+                    ["ffmpeg", "-y", "-i", out, "-i", args.audio_path, "-c:v", "copy",
+                     "-c:a", "aac", "-shortest", muxed],
+                    check=False, capture_output=True,
+                )
+
+        saver.submit(_save_and_mux)
+    saver.close()
     print(f"saved {len(video_list)} frames")
 
 

@@ -37,6 +37,52 @@ def save_video(frames, save_path: str, fps: int = 24, quality: int = 8):
     writer.release()
 
 
+class AsyncVideoSaver:
+    """Run the per-clip cumulative mp4 write off the clip loop's critical
+    path.
+
+    The inference drivers re-save the growing stitched video after every
+    clip (ref test_svi.py:478-483); done inline, the host mp4 encode stalls
+    the device between clips. submit() joins the previous write first (one
+    write in flight: bounded memory, no same-path races), then runs the
+    callable on a background thread so the encode overlaps the next clip's
+    denoise. Exceptions surface on the next submit()/close(). Always
+    close() before exiting so the final write completes.
+    """
+
+    def __init__(self):
+        self._thread = None
+        self._err = None
+
+    def _join(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def submit(self, fn):
+        """Join the in-flight write, then run fn() on a background thread.
+        Snapshot mutable state (e.g. ``list(video_list)``) before capturing
+        it in fn — the caller keeps mutating between clips."""
+        import threading
+
+        self._join()
+
+        def _run():
+            try:
+                fn()
+            except BaseException as ex:  # noqa: BLE001 — re-raised in _join
+                self._err = ex
+
+        self._thread = threading.Thread(target=_run, daemon=True)
+        self._thread.start()
+
+    def close(self):
+        self._join()
+
+
 def load_video_frames(path: str, indices=None):
     """mp4 -> list of HWC uint8 RGB numpy frames (all, or the given indices)."""
     cv2 = _cv2()
