@@ -57,7 +57,7 @@ def _wait_for_tpu(jax, jnp, tries=6, wait_s=45):
             time.sleep(wait_s)
 
 
-def main():
+def main(result_fd=None):
     import jax
 
     import svi_tpu
@@ -659,8 +659,19 @@ print(json.dumps({{
     else:
         raise SystemExit(f"no metric measured: {errors}")
 
-    print(json.dumps(result))
+    line = json.dumps(result) + "\n"
+    if result_fd is not None:
+        os.write(result_fd, line.encode())
+    else:
+        print(line, end="")
 
 
 if __name__ == "__main__":
-    main()
+    # The driver machine-parses stdout; anything else that writes fd 1
+    # (TPU runtime banners, library prints) would corrupt it. Redirect fd 1
+    # to stderr for the whole run and emit the result JSON as the SOLE
+    # stdout line through a duplicate of the original fd.
+    _real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+    main(result_fd=_real_stdout)

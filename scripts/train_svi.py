@@ -41,6 +41,10 @@ def build_parser(description="SVI-TPU error-recycling LoRA training"):
     p.add_argument("--use_gradient_checkpointing_offload", action="store_true", default=False)
     p.add_argument("--training_strategy", type=str, default="data_parallel",
                    help="mesh layout: data_parallel | sp | dataxsp (ZeRO analog: sharded batch)")
+    p.add_argument("--shard_optimizer_state", action="store_true", default=False,
+                   help="ZeRO-1 analog of the reference's deepspeed_stage_2 "
+                        "(train_svi.py:156-161): shard optimizer moments over "
+                        "the mesh's 'data' axis")
     p.add_argument("--remat_granularity", type=int, default=1,
                    help="blocks per checkpoint group: 1 = per-block remat, 0 = auto "
                         "sqrt(L) grouping (fits 14B LoRA activations on one chip), "
@@ -112,6 +116,8 @@ def trainer_config_from_args(args):
         lora_alpha=args.lora_alpha,
         lora_targets=tuple(args.lora_target_modules.split(",")),
         use_gradient_checkpointing=args.use_gradient_checkpointing,
+        use_gradient_checkpointing_offload=getattr(
+            args, "use_gradient_checkpointing_offload", False),
         use_error_recycling=args.use_error_recycling,
         error_buffer_k=args.error_buffer_k,
         buffer_replacement_strategy=args.buffer_replacement_strategy,
@@ -130,6 +136,7 @@ def trainer_config_from_args(args):
         seed=args.seed,
         remat_granularity=args.remat_granularity,
         save_attention_activations=getattr(args, "save_attention", False),
+        shard_optimizer_state=getattr(args, "shard_optimizer_state", False),
     )
 
 

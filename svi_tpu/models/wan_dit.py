@@ -673,7 +673,8 @@ def forward_blocks(params, cfg: WanDiTConfig, tokens, ctx, t_mod, grid, use_rema
                    lora=None, lora_scale: float = 1.0, num_img_tokens: int = 257,
                    audio_embed=None, block_add_condition=None,
                    remat_granularity: Optional[int] = None,
-                   save_attention: bool = False):
+                   save_attention: bool = False,
+                   offload_carries: bool = False):
     """The scanned DiT block stack (wan_video_dit.py:547-563). `lora` is an
     optional stacked per-block pytree of unfused adapters (training).
     remat_granularity: blocks per outer checkpoint group (sqrt-remat, see
@@ -683,18 +684,31 @@ def forward_blocks(params, cfg: WanDiTConfig, tokens, ctx, t_mod, grid, use_rema
     block recompute rebuilds only the q/k/v projections and skips the
     O(S^2) attention kernel — ~11% faster 1.3B train step for
     +(S x dim) bf16 per block of activation memory (100 MB/block at
-    480p/81f; fine for 1.3B's 30 blocks, too much for 14B's 40 x 335 MB)."""
+    480p/81f; fine for 1.3B's 30 blocks, too much for 14B's 40 x 335 MB).
+    offload_carries: with use_remat, SAVE every block's input carry but in
+    HOST memory (pinned_host) instead of recomputing it — the TPU analog of
+    the reference's torch.utils.checkpoint save_on_cpu
+    (wan_video_dit.py:547-561). Trades D2H/H2D DMA of L x (b,S,dim) bf16 per
+    step for near-zero activation HBM across the block stack."""
     cos, sin = rope_angles_for_grid(grid, cfg.head_dim)
     customtalk_carry = cfg.enable_customtalk and audio_embed is not None
 
     def block_fn(tok, bp, lbp, cond=None):
+        if use_remat and offload_carries:
+            tok = jax.ad_checkpoint.checkpoint_name(tok, "block_carry")
         return dit_block(bp, cfg, tok, ctx, t_mod, cos, sin, lora=lbp,
                          lora_scale=lora_scale, num_img_tokens=num_img_tokens,
                          audio_embed=audio_embed, num_frames=grid[0],
                          add_condition=cond)
 
     policy = None
-    if use_remat and save_attention:
+    if use_remat and offload_carries:
+        policy = jax.checkpoint_policies.save_and_offload_only_these_names(
+            names_which_can_be_saved=(["flash_out", "flash_lse"]
+                                      if save_attention else []),
+            names_which_can_be_offloaded=["block_carry"],
+            offload_src="device", offload_dst="pinned_host")
+    elif use_remat and save_attention:
         policy = jax.checkpoint_policies.save_only_these_names(
             "flash_out", "flash_lse")
     if use_remat:
@@ -761,6 +775,7 @@ def forward(
     audio_embed_tuple=None,
     remat_granularity: Optional[int] = None,
     save_attention: bool = False,
+    offload_carries: bool = False,
 ) -> jax.Array:
     """Full DiT forward (wan_video_dit.py:486-567 / svi_video.py:74-137).
 
@@ -786,6 +801,7 @@ def forward(
         block_add_condition=add_condition if cfg.enable_customtalk else None,
         remat_granularity=remat_granularity,
         save_attention=save_attention,
+        offload_carries=offload_carries,
     )
     return forward_head(params, cfg, tokens, t, grid)
 

@@ -182,6 +182,7 @@ def forward_sp(
     audio_embed_tuple=None,
     remat_granularity: Optional[int] = None,
     save_attention: bool = False,
+    offload_carries: bool = False,
 ) -> jax.Array:
     """Sequence-parallel equivalent of wan_dit.forward. Call under jit with
     `mesh`'s axes ('data', 'sp'); batch shards over 'data'. Supports the
@@ -230,6 +231,8 @@ def forward_sp(
         audio_ = audio_ if audio_embed is not None else None
 
         def block_fn(tk, bp, lbp, cond=None):
+            if use_remat and offload_carries:
+                tk = jax.ad_checkpoint.checkpoint_name(tk, "block_carry")
             return _dit_block_sp(
                 bp, cfg, tk, ctx_, t_mod_, cos_l, sin_l, S, "sp", lbp, lora_scale,
                 num_img_tokens=n_img, ring=ring, audio_embed=audio_,
@@ -237,7 +240,13 @@ def forward_sp(
             )
 
         policy = None
-        if use_remat and save_attention:
+        if use_remat and offload_carries:
+            policy = jax.checkpoint_policies.save_and_offload_only_these_names(
+                names_which_can_be_saved=(["flash_out", "flash_lse"]
+                                          if save_attention else []),
+                names_which_can_be_offloaded=["block_carry"],
+                offload_src="device", offload_dst="pinned_host")
+        elif use_remat and save_attention:
             policy = jax.checkpoint_policies.save_only_these_names(
                 "flash_out", "flash_lse")
         if use_remat:

@@ -440,9 +440,12 @@ class SVIVideoPipeline:
                 p, dit_cfg, x, t, c, clip_feature=cf, y=y_, add_condition=ac
             )[:4],
         )
+        n_img = (clip_feature.shape[1]
+                 if (dit_cfg.has_image_input and clip_feature is not None) else 257)
         blocks = self._jit(
-            ("tc_blocks", grid),
-            lambda p, tok, c, tm: wan_dit.forward_blocks(p, dit_cfg, tok, c, tm, grid),
+            ("tc_blocks", grid, n_img),
+            lambda p, tok, c, tm: wan_dit.forward_blocks(
+                p, dit_cfg, tok, c, tm, grid, num_img_tokens=n_img),
         )
         head = self._jit(
             ("tc_head", grid),

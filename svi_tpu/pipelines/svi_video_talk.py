@@ -98,8 +98,8 @@ class SVITalkVideoPipeline(SVIVideoPipeline):
         return self._jit("talk_step", step_fn)
 
     def _sample_talk(self, latents, ctx_pos, ctx_neg, image_emb, cfg_text, cfg_audio,
-                     audio_tuple, audio_tuple_null):
-        dit_params, _ = self.dit
+                     audio_tuple, audio_tuple_null, tea_cache=None):
+        dit_params, dit_cfg = self.dit
         sigmas = np.asarray(self.scheduler.sigmas, np.float32)
         timesteps = np.asarray(self.scheduler.timesteps, np.float32)
         n = len(timesteps)
@@ -113,14 +113,76 @@ class SVITalkVideoPipeline(SVIVideoPipeline):
         audio_vf3 = jnp.concatenate(
             [audio_tuple[1], audio_tuple[1], audio_tuple_null[1]], axis=0
         )
-        step = self._talk_step_fn()
+        if tea_cache is None:
+            step = self._talk_step_fn()
+            for i in range(n):
+                latents = step(
+                    dit_params, latents, jnp.asarray([timesteps[i]]),
+                    sigmas[i], sigmas[i + 1] if i + 1 < n else np.float32(0.0),
+                    ctx3, clip_feature, y, audio_first3, audio_vf3,
+                    np.float32(cfg_text), np.float32(cfg_audio),
+                )
+            return latents
+
+        # TeaCache path (ref model_fn_wan_talk_video svi_video_talk.py:127-148,
+        # threaded through all three CFG branches at :455-462). The skip
+        # decision depends only on t_mod (timestep-only), and the stored
+        # residual is per-batch-row — so ONE cache serves the batched 3-branch
+        # forward, unlike the reference, which runs three sequential forwards
+        # with tea_cache_posi on the cond branch and tea_cache_nega shared by
+        # the other two.
+        pt, ph, pw = dit_cfg.patch_size
+        _, _, lf, lh, lw = latents.shape
+        grid = (lf // pt, lh // ph, lw // pw)
+        prelude = self._jit(
+            ("tc_prelude", grid),
+            lambda p, x, t, c, cf, y_, ac: wan_dit.forward_prelude(
+                p, dit_cfg, x, t, c, clip_feature=cf, y=y_, add_condition=ac
+            )[:4],
+        )
+        n_img = (clip_feature.shape[1]
+                 if (dit_cfg.has_image_input and clip_feature is not None) else 257)
+        blocks = self._jit(
+            ("talk_tc_blocks", grid, n_img),
+            lambda p, tok, c, tm, ae: wan_dit.forward_blocks(
+                p, dit_cfg, tok, c, tm, grid, audio_embed=ae, num_img_tokens=n_img,
+            ),
+        )
+        head = self._jit(
+            ("tc_head", grid),
+            lambda p, tok, t: wan_dit.forward_head(p, dit_cfg, tok, t, grid),
+        )
+        # audio projection is timestep-independent: compute once per clip
+        audio_proj = self._jit(
+            "talk_audio_proj",
+            lambda p, a, b_: wan_dit.audio_proj_forward(p, dit_cfg, a, b_),
+        )
+        ae3 = audio_proj(dit_params, audio_first3, audio_vf3)
+        b = latents.shape[0]
+        clip3 = None if clip_feature is None else jnp.concatenate([clip_feature] * 3, axis=0)
+        y3 = None if y is None else jnp.concatenate([y] * 3, axis=0)
         for i in range(n):
-            latents = step(
-                dit_params, latents, jnp.asarray([timesteps[i]]),
-                sigmas[i], sigmas[i + 1] if i + 1 < n else np.float32(0.0),
-                ctx3, clip_feature, y, audio_first3, audio_vf3,
-                np.float32(cfg_text), np.float32(cfg_audio),
+            xin = jnp.concatenate([latents] * 3, axis=0)
+            tokens, ctx_emb, t_emb, t_mod = prelude(
+                dit_params, xin, jnp.asarray([timesteps[i]]), ctx3, clip3, y3, None
             )
+            if tea_cache.check(tokens, t_mod):
+                tokens = tea_cache.update(tokens)
+            else:
+                tokens = blocks(dit_params, tokens, ctx_emb, t_mod, ae3)
+                tea_cache.store(tokens)
+            out = head(dit_params, tokens, t_emb)
+            cond, drop_text, uncond = out[:b], out[b : 2 * b], out[2 * b :]
+            noise_pred = (
+                uncond.astype(jnp.float32)
+                + cfg_text * (cond.astype(jnp.float32) - drop_text.astype(jnp.float32))
+                + cfg_audio * (drop_text.astype(jnp.float32) - uncond.astype(jnp.float32))
+            )
+            sig = sigmas[i]
+            sig_next = sigmas[i + 1] if i + 1 < n else np.float32(0.0)
+            latents = (
+                latents.astype(jnp.float32) + noise_pred * (sig_next - sig)
+            ).astype(latents.dtype)
         return latents
 
     # -- entry ----------------------------------------------------------------------
@@ -157,7 +219,9 @@ class SVITalkVideoPipeline(SVIVideoPipeline):
         if state is None:
             return super()._sample(latents, ctx_pos, ctx_neg, image_emb, cfg_scale, **kw)
         audio_tuple, audio_tuple_null, cfg_text, cfg_audio = state
+        tc_posi = kw.get("tea_cache_posi")
+        tea_cache = tc_posi.get("tea_cache") if tc_posi else None
         return self._sample_talk(
             latents, ctx_pos, ctx_neg, image_emb, cfg_text, cfg_audio,
-            audio_tuple, audio_tuple_null,
+            audio_tuple, audio_tuple_null, tea_cache=tea_cache,
         )

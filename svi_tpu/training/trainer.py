@@ -52,6 +52,17 @@ class TrainerConfig:
     # wan_dit.forward_blocks). Costs (S x dim) bf16 per block of activation
     # memory: right for <=1.3B configs, too much for 14B on one chip.
     save_attention_activations: bool = False
+    # host-offloaded block carries: the TPU analog of the reference's
+    # torch.utils.checkpoint(..., save_on_cpu) path
+    # (wan_video_dit.py:547-561) — block input carries are SAVED to
+    # pinned_host instead of rematerialized, trading D2H/H2D DMA for
+    # near-zero activation HBM across the block stack.
+    use_gradient_checkpointing_offload: bool = False
+    # ZeRO-1 analog (ref train_svi.py:156-161 deepspeed_stage_2): shard
+    # optimizer moments over the mesh's 'data' axis. Only meaningful with a
+    # mesh; immaterial for rank-128 LoRA but load-bearing for customtalk
+    # (per-block FFNs) and full-finetune variants.
+    shard_optimizer_state: bool = False
     # error recycling (ref :684-712)
     use_error_recycling: bool = True
     error_buffer_k: int = 500
@@ -87,6 +98,40 @@ def make_optimizer(cfg: TrainerConfig):
     )
 
 
+def _data_partition_spec(shape, n_data: int):
+    """PartitionSpec sharding the largest n_data-divisible axis over 'data'
+    (replicated when no axis divides). The ZeRO-1 layout rule: moments and
+    other per-param optimizer leaves split across the data axis."""
+    from jax.sharding import PartitionSpec as P
+
+    best, best_dim = -1, 0
+    for i, d in enumerate(shape):
+        if d >= n_data and d % n_data == 0 and d > best_dim:
+            best, best_dim = i, d
+    parts = [None] * len(shape)
+    if best >= 0:
+        parts[best] = "data"
+    return P(*parts)
+
+
+def shard_optimizer_state(opt_state, mesh):
+    """ZeRO-1 analog of the reference's deepspeed_stage_2 (train_svi.py
+    :156-161): place each optimizer-state leaf sharded over the mesh's 'data'
+    axis (largest divisible dim). Adapters stay replicated; the jitted train
+    step keeps the moments sharded (grads are replicated by the mean loss, the
+    Adam update partitions elementwise, XLA all-gathers only the small
+    updates for apply_updates)."""
+    from jax.sharding import NamedSharding
+
+    n = mesh.shape["data"]
+    return jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, _data_partition_spec(jnp.shape(x), n))
+        ),
+        opt_state,
+    )
+
+
 def split_customtalk_params(base_params):
     """Extract the trainable customtalk subtrees (names containing
     'customtalk' — ref train_svi.py:670-676 requires_grad selection)."""
@@ -107,7 +152,8 @@ def merge_customtalk_params(base_params, ct):
 
 def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=True,
                     mesh=None, train_pose: bool = False, train_customtalk: bool = False,
-                    remat_granularity: int = 1, save_attention: bool = False):
+                    remat_granularity: int = 1, save_attention: bool = False,
+                    offload_carries: bool = False, shard_optimizer: bool = False):
     """Returns jitted train_step(lora, opt_state, base_params, batch) ->
     (lora, opt_state, metrics dict with loss/noise_error/y_error).
 
@@ -136,6 +182,7 @@ def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=T
                 audio_embed_tuple=audio_embed_tuple,
                 remat_granularity=remat_granularity,
                 save_attention=save_attention,
+                offload_carries=offload_carries,
             )
         return wan_dit.forward(
             base_params, dit_cfg, noisy, timestep, context,
@@ -144,6 +191,7 @@ def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=T
             audio_embed_tuple=audio_embed_tuple,
             remat_granularity=remat_granularity,
             save_attention=save_attention,
+            offload_carries=offload_carries,
         )
 
     def loss_fn(trainable, base_params, batch):
@@ -185,6 +233,19 @@ def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=T
             trainable, base_params, batch
         )
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        if mesh is not None and shard_optimizer:
+            # ZeRO-1: pin the new moments to the sharded layout so XLA
+            # partitions the Adam update across 'data' instead of
+            # all-gathering the state back
+            from jax.sharding import NamedSharding
+
+            n_data = mesh.shape["data"]
+            opt_state = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, _data_partition_spec(jnp.shape(x), n_data))
+                ),
+                opt_state,
+            )
         trainable = optax.apply_updates(trainable, updates)
 
         # one-step bidirectional error extraction (ref :1151-1160):
@@ -210,9 +271,12 @@ def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=T
 
         data = NamedSharding(mesh, P("data"))  # prefix: axis 0 of every leaf
         rep = NamedSharding(mesh, P())
+        # with shard_optimizer, opt_state arrives pre-sharded (see
+        # shard_optimizer_state); None = infer sharding from the argument
+        opt_in = None if shard_optimizer else rep
         return jax.jit(
             train_step,
-            in_shardings=(rep, rep, rep, data),
+            in_shardings=(rep, opt_in, rep, data),
             donate_argnums=(0, 1),
         )
     return jax.jit(train_step, donate_argnums=(0, 1))
@@ -250,6 +314,8 @@ class ErrorRecyclingTrainer:
         self.lora_scale = lora_mod.lora_scale(self.cfg.lora_rank, self.cfg.lora_alpha)
         self.optimizer = make_optimizer(self.cfg)
         self.opt_state = self.optimizer.init(self.trainable)
+        if mesh is not None and self.cfg.shard_optimizer_state:
+            self.opt_state = shard_optimizer_state(self.opt_state, mesh)
         self.buffers = ErrorBuffers(
             num_grids=self.cfg.num_grids,
             buffer_size=self.cfg.error_buffer_k,
@@ -268,6 +334,8 @@ class ErrorRecyclingTrainer:
             train_customtalk=self.cfg.train_architecture == "customtalk",
             remat_granularity=self.cfg.remat_granularity,
             save_attention=self.cfg.save_attention_activations,
+            offload_carries=self.cfg.use_gradient_checkpointing_offload,
+            shard_optimizer=self.cfg.shard_optimizer_state,
         )
 
     @property

@@ -476,3 +476,34 @@ def test_customtalk_training_mode():
 
         sd = load_file(path)
         assert any("customtalk_context_pre_ffns" in k for k in sd)
+
+
+@pytest.mark.parametrize("granularity", [1, 2])
+def test_offload_carries_training_step_identical(granularity):
+    """use_gradient_checkpointing_offload (the TPU analog of the reference's
+    torch.utils.checkpoint save_on_cpu, wan_video_dit.py:547-561) only moves
+    where block carries are SAVED (pinned_host vs recompute) — the loss
+    trajectory must match the default remat plan exactly."""
+    cfg4 = wan_dit.WanDiTConfig(
+        dim=64, in_dim=12, ffn_dim=128, out_dim=4, text_dim=48, freq_dim=32,
+        num_heads=2, num_layers=4, has_image_input=True, dtype=jnp.float32,
+        clip_feature_dim=40,
+    )
+    rng = np.random.default_rng(7)
+    latents = rng.standard_normal((1, 4, 2, 8, 8)).astype(np.float32)
+    ctx = rng.standard_normal((1, 7, 48)).astype(np.float32)
+    y = rng.standard_normal((1, 8, 2, 8, 8)).astype(np.float32)
+    clip = rng.standard_normal((1, 257, 40)).astype(np.float32)
+
+    def run(offload):
+        params = wan_dit.init_params(jax.random.PRNGKey(0), cfg4)
+        tc = TrainerConfig(lora_rank=4, lora_alpha=4.0, buffer_warmup_iter=2,
+                           error_buffer_k=8, num_grids=10, seed=0,
+                           remat_granularity=granularity,
+                           use_gradient_checkpointing_offload=offload)
+        trainer = ErrorRecyclingTrainer(params, cfg4, tc)
+        losses = [trainer.training_step(latents, ctx, y=y, clip_feature=clip)["loss"]
+                  for _ in range(2)]
+        return losses
+
+    np.testing.assert_allclose(run(True), run(False), rtol=1e-5, atol=1e-6)

@@ -298,3 +298,72 @@ def test_customtalk_dit_forward_parity():
         )
     )
     np.testing.assert_allclose(ours, ref, rtol=5e-4, atol=5e-4)
+
+
+def _run_talk_clip(pipe, thresh=None, steps=4):
+    rng = np.random.default_rng(0)
+    from PIL import Image
+
+    img = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    ctx = rng.standard_normal((1, 7, 48)).astype(np.float32)
+    audio_embed = rng.standard_normal((1, 9, 5, 12, 768)).astype(np.float32)
+    frames, latents = pipe(
+        input_image=img, random_ref_frame=np.array(img),
+        audio_embed=audio_embed,
+        seed=0, height=64, width=64, num_frames=9,
+        cfg_scale=dict(text=5.0, audio=2.0),
+        num_inference_steps=steps, tiled=False,
+        prompt_emb_posi=ctx, prompt_emb_nega=ctx * 0.5, ref_pad_num=-1,
+        tea_cache_l1_thresh=thresh,
+        tea_cache_model_id="Wan2.1-I2V-14B-720P" if thresh is not None else "",
+        return_latents=True,
+    )
+    return frames, np.asarray(latents, np.float32)
+
+
+def test_talk_teacache_matches_cache_off():
+    """TeaCache threaded through the talk sampler (ref svi_video_talk.py
+    :455-462, :127-148): with a never-skip threshold, the split
+    prelude/blocks/head path must reproduce the fused 3-branch forward."""
+    from tests_pipeline_helpers import tiny_pipeline_models
+
+    from svi_tpu.pipelines.svi_video_talk import SVITalkVideoPipeline
+
+    models = tiny_pipeline_models(z=4, multitalk=True)
+    pipe = SVITalkVideoPipeline(torch_dtype=jnp.float32)
+    pipe.dit, pipe.vae, pipe.image_encoder = models
+
+    _, lat_off = _run_talk_clip(pipe, thresh=None)
+    _, lat_on = _run_talk_clip(pipe, thresh=-1e9)  # never skip: compute every step
+    np.testing.assert_allclose(lat_on, lat_off, rtol=2e-5, atol=2e-5)
+
+
+def test_talk_teacache_skip_accounting():
+    """A huge threshold must skip every middle step (first/last always
+    compute, ref svi_video.py:47-50) and still produce frames."""
+    from tests_pipeline_helpers import tiny_pipeline_models
+
+    from svi_tpu.pipelines.svi_video import TeaCache
+    from svi_tpu.pipelines.svi_video_talk import SVITalkVideoPipeline
+
+    models = tiny_pipeline_models(z=4, multitalk=True)
+    pipe = SVITalkVideoPipeline(torch_dtype=jnp.float32)
+    pipe.dit, pipe.vae, pipe.image_encoder = models
+
+    seen = {}
+    orig_check = TeaCache.check
+
+    def spy_check(self, x_tokens, t_mod):
+        out = orig_check(self, x_tokens, t_mod)
+        seen["cache"] = self
+        return out
+
+    TeaCache.check = spy_check
+    try:
+        steps = 4
+        frames, lat = _run_talk_clip(pipe, thresh=1e9, steps=steps)
+    finally:
+        TeaCache.check = orig_check
+    assert len(frames) == 9
+    assert np.isfinite(lat).all()
+    assert seen["cache"].skipped_steps == steps - 2
