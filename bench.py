@@ -39,6 +39,23 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _retry_compile(fn, tries=3, wait_s=20, label=""):
+    """First executions compile through the axon remote-compile helper, which
+    500s transiently (BENCH_r03 note; recurred in BENCH_r04's save-attention
+    section where the single retry wasn't enough). Retry with a pause so a
+    busy helper subprocess gets a fresh chance; re-raise only after `tries`
+    consecutive failures — at that point the failure is treated as real."""
+    for i in range(tries):
+        try:
+            return fn()
+        except Exception as ex:  # noqa: BLE001
+            _log(f"compile attempt {i + 1}/{tries} {label} failed: "
+                 f"{type(ex).__name__}: {str(ex)[:160]}")
+            if i == tries - 1:
+                raise
+            time.sleep(wait_s)
+
+
 def _wait_for_tpu(jax, jnp, tries=6, wait_s=45):
     """The chip is shared through the axon tunnel: a stale process holding
     HBM turns every allocation into RESOURCE_EXHAUSTED (this killed
@@ -285,10 +302,9 @@ def main(result_fd=None):
             "y": image_emb["y"][:1],
         }
         t0 = time.perf_counter()
-        try:
-            trainable, opt_state, m = step_train(trainable, opt_state, dit_params, tbatch)
-        except Exception:  # the axon remote-compile helper 500s transiently
-            trainable, opt_state, m = step_train(trainable, opt_state, dit_params, tbatch)
+        trainable, opt_state, m = _retry_compile(
+            lambda: step_train(trainable, opt_state, dit_params, tbatch),
+            label="train_step")
         _ = float(m["loss"])
         t_train_compile = time.perf_counter() - t0
         t0 = time.perf_counter()
@@ -310,10 +326,9 @@ def main(result_fd=None):
                 dit_cfg, schedule, optimizer, lora_scale=1.0, use_remat=True,
                 mesh=None, save_attention=True,
             )
-            try:
-                trainable, opt_state, m = step_sa(trainable, opt_state, dit_params, tbatch)
-            except Exception:  # the axon remote-compile helper 500s transiently
-                trainable, opt_state, m = step_sa(trainable, opt_state, dit_params, tbatch)
+            trainable, opt_state, m = _retry_compile(
+                lambda: step_sa(trainable, opt_state, dit_params, tbatch),
+                label="train_step_save_attention")
             _ = float(m["loss"])
             t0 = time.perf_counter()
             trainable, opt_state, m = step_sa(trainable, opt_state, dit_params, tbatch)
@@ -562,10 +577,9 @@ print(json.dumps({{
                 "y": image_emb["y"][:1],
             }
             t0 = time.perf_counter()
-            try:
-                trainable14, opt14, m14 = step14t(trainable14, opt14, params14, batch14)
-            except Exception:  # the axon remote-compile helper 500s transiently
-                trainable14, opt14, m14 = step14t(trainable14, opt14, params14, batch14)
+            trainable14, opt14, m14 = _retry_compile(
+                lambda: step14t(trainable14, opt14, params14, batch14),
+                label="train_step_14B")
             _ = float(m14["loss"])
             t14t_compile = time.perf_counter() - t0
             t0 = time.perf_counter()

@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--head_dim", type=int, default=128)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--rope", action="store_true", default=False)
+    ap.add_argument("--quant", type=str, default=None,
+                    help="int8 forward: qk8 | qk8pv8 (bf16-equivalent TF/s reported)")
     args = ap.parse_args()
 
     import jax
@@ -64,7 +66,8 @@ def main():
             out = q_
             for _ in range(nreps):
                 out = attn.flash_attention_flat(out, k_, v_, head_dim=d,
-                                                cos=cos, sin=sin)
+                                                cos=cos, sin=sin,
+                                                quant=args.quant)
             return out
         return f
 
@@ -87,7 +90,7 @@ def main():
         sync(fc(q, k, v))
         tcs.append(time.perf_counter() - t0)
     t = (min(tcs) - min(t1s)) / (CHAIN - 1)
-    print(f"shape b{b} n{n} s{s} d{d} rope={args.rope}: "
+    print(f"shape b{b} n{n} s{s} d{d} rope={args.rope} quant={args.quant}: "
           f"{t * 1e3:.2f} ms  {flops / t / 1e12:.1f} TF/s")
 
 

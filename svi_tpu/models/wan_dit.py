@@ -57,6 +57,12 @@ class WanDiTConfig:
     audio_hidden_dim: int = 768
     audio_context_tokens: int = 32
     dtype: Any = jnp.bfloat16
+    # int8-MXU SELF-attention forward: "none" | "qk8" | "qk8pv8" (see
+    # ops/attention._fwd_kernel_flat_q8). Inference-only — training paths
+    # must keep "none". The TPU analog of the reference's SageAttention
+    # dispatch (diffsynth/models/attention.py:21-24 import guard, :135-139
+    # auto-preference when installed).
+    attention_quant: str = "none"
 
     @property
     def head_dim(self) -> int:
@@ -366,7 +372,8 @@ def _self_attention(p: Params, cfg: WanDiTConfig, x: jax.Array, cos, sin,
     q = rms_norm(_dense_lora(p["q"], x, _l(lora, "q"), lora_scale), p["norm_q"]["w"], eps=cfg.eps)
     k = rms_norm(_dense_lora(p["k"], x, _l(lora, "k"), lora_scale), p["norm_k"]["w"], eps=cfg.eps)
     v = _dense_lora(p["v"], x, _l(lora, "v"), lora_scale)
-    o = flash_attention_flat(q, k, v, cfg.head_dim, cos=cos, sin=sin)
+    quant = None if cfg.attention_quant == "none" else cfg.attention_quant
+    o = flash_attention_flat(q, k, v, cfg.head_dim, cos=cos, sin=sin, quant=quant)
     return _dense_lora(p["o"], o, _l(lora, "o"), lora_scale)
 
 

@@ -236,6 +236,228 @@ def _expand_rope_tables(cos, sin, head_dim, pad_to):
 
 
 # ---------------------------------------------------------------------------
+# Quantized forward kernel (int8 QK on the int8 MXU, optional int8 PV)
+#
+# SageAttention-class scheme (arXiv 2410.02367) re-derived for the TPU:
+#   * Q: per-token int8, roped and quantized at the XLA level. int8's native
+#     tile is (32, 128) vs f32's (8, 128), so producing int8 INSIDE the
+#     kernel forces a Mosaic relayout per grid step (measured: in-kernel q
+#     quantization ran the whole kernel at 78 TF/s vs 177 bf16); quantizing
+#     in XLA hands the kernel ready-tiled int8 operands. The per-token
+#     scales ride along as a (b, n, sq, 1) array — the same lse layout the
+#     forward already emits, and one Mosaic will block at (1, 1, bq, 1);
+#   * K: pre-roped, mean-centered and int8-quantized at the XLA level with
+#     ONE scale per (batch, head) — centering by any per-row-constant vector
+#     leaves softmax(qk^T) exactly invariant (q·c is constant per row) while
+#     shrinking the quantization range against K's channel outliers. Halves
+#     K HBM traffic into the kernel as a side effect.
+#   * P·V (mode "qk8pv8"): p is produced DIRECTLY in 127-scaled units by
+#     folding log2(127) into the exp2 argument (zero extra VPU passes), then
+#     rounded to int8; V is int8 with per-(batch, head, channel) scales. The
+#     V scale is constant across k-blocks so it commutes with the whole
+#     accumulation: the kernel emits out in v8 channel units and XLA applies
+#     the (b, 1, n·d) scale as one fused multiply afterwards (Mosaic can't
+#     block a (b, n, d) array at (1, 1, d) anyway). l accumulates the same
+#     127-scaled p, so that scale cancels in out = acc / l.
+#   * the int32 scores are rescaled by ONE per-row vector (q-scale · k-scale
+#     · softmax scale · log2e), and the running max is taken on the int32
+#     tile (scales are positive, so max commutes with the rescale).
+#
+# The exactness contract: softmax weights differ from the bf16 kernel only by
+# int8 quantization noise; the saved lse corresponds to the CENTERED logits
+# (off by q·mean·scale per row), so quant modes are inference-only — the
+# training paths keep the bf16 kernel.
+#
+# MEASURED STATUS (v5e, jax 0.9.0 / libtpu 0.0.34, s=32760 n=40 d=128): the
+# kernel is numerically excellent (max err ~5e-3 vs the bf16 kernel) but NOT
+# faster — 80 TF/s vs the bf16 kernel's 177. Isolation experiments:
+#   * swapping ONLY the QK dot to in-kernel bf16-dequant ran 147 TF/s, so
+#     ~all of the loss is the int8 dot itself: Mosaic does not lower
+#     int8xint8->int32 dot_general at the v5e's 394 TOP/s int8-MXU rate
+#     (XLA-level int8 matmuls do hit 337-378 TOP/s, see ops/quant_matmul.py);
+#   * a natural-layout variant (K pre-transposed, contraction (1,0)) hung
+#     the remote Mosaic compile >27 min and was abandoned.
+# Kept (tested, correct) as the ready path for a toolchain where Mosaic
+# gains native int8-MXU dots; NOT wired into any default config — the bf16
+# kernel at 90% of peak is the production path. See docs/PERFORMANCE.md
+# "int8 attention" for the full writeup.
+# ---------------------------------------------------------------------------
+
+_LOG2_127 = 6.9886846867721655  # log2(127)
+
+
+def _fwd_kernel_flat_q8(
+    kv_len_ref, kscale_ref, q8_ref, qs_ref, k8_ref, v_ref,
+    o_ref, lse_ref, m_scr, l_scr, acc_scr,
+    *, scale, block_k, masked, nsub, pv8,
+):
+    b_ = pl.program_id(0)
+    n_ = pl.program_id(1)
+    j = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+
+    q8 = q8_ref[0]  # (bq, head_dim) int8, roped+quantized in XLA
+    qs = qs_ref[0, 0]  # (bq, 1) f32 per-token scales
+    kscale = kscale_ref[b_, n_]
+    c_row = qs * (kscale * scale * _LOG2E)  # (bq, 1), >= 0
+    if masked:
+        kv_len = kv_len_ref[0]
+
+    h = block_k // nsub
+    ss = [
+        jax.lax.dot_general(q8, k8_ref[0, t * h:(t + 1) * h],
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+        for t in range(nsub)
+    ]
+    first = j == 0
+    m = m_scr[:, :1]
+    l = l_scr[:, :1]
+    acc = acc_scr[:]
+    p_shift = _LOG2_127 if pv8 else 0.0
+    for t in range(nsub):
+        # max commutes with the positive per-row rescale: reduce on int32
+        m_t = jnp.maximum(
+            m, jnp.max(ss[t], axis=-1, keepdims=True).astype(jnp.float32) * c_row
+        )
+        sf = ss[t].astype(jnp.float32) * c_row
+        if masked:
+            col = (j * block_k + t * h
+                   + jax.lax.broadcasted_iota(jnp.int32, (1, h), 1))
+            penalty = jnp.where(col < kv_len, 0.0, _NEG_INF).astype(jnp.float32)
+            p_t = jnp.exp2(sf - m_t + (penalty + p_shift))
+        else:
+            p_t = jnp.exp2(sf - m_t + p_shift)
+        alpha_t = jnp.exp2(m - m_t)
+        if pv8:
+            pq = jnp.round(p_t).astype(jnp.int8)  # p in [0, 127] by the shift
+            pv_t = jax.lax.dot_general(
+                pq, v_ref[0, t * h:(t + 1) * h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)  # v8 channel units; XLA scales afterwards
+        else:
+            pv_t = jax.lax.dot_general(
+                p_t.astype(v_ref.dtype), v_ref[0, t * h:(t + 1) * h],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+        # l accumulates the SAME 127-scaled p as the numerator: cancels in o
+        l = alpha_t * l + jnp.sum(p_t, axis=-1, keepdims=True)
+        if t == 0:
+            acc = jnp.where(first, 0.0, acc * alpha_t) + pv_t
+        else:
+            acc = acc * alpha_t + pv_t
+        m = m_t
+    acc_scr[:] = acc
+    m_scr[:, :1] = m
+    l_scr[:, :1] = l
+
+    @pl.when(j == nk - 1)
+    def _():
+        lf = l_scr[:, :1]
+        o_ref[0] = (acc_scr[:] / jnp.maximum(lf, 1e-30)).astype(o_ref.dtype)
+        # lse of the CENTERED logits; the 127 shift backs out of log(l)
+        lse_ref[0, 0] = (m_scr[:, :1] / _LOG2E
+                         + jnp.log(jnp.maximum(lf, 1e-30))
+                         - (p_shift / _LOG2E))
+
+
+def _quant_prep_xla(q, k, v, cos, sin, use_rope, head_dim, pv8):
+    """XLA-side prep for the quantized kernel: rope Q and K (once, instead of
+    per-q-block in-kernel), quantize Q per token (scales returned in the
+    (b, n, sq, 1) layout Mosaic can block at (1, 1, bq, 1)), center K per
+    (batch, head, channel) over tokens (softmax-invariant) and quantize it
+    with one scale per (batch, head); with pv8, quantize V per
+    (batch, head, channel). Quantizing out here hands the kernel ready-tiled
+    int8 operands — int8's (32, 128) native tile makes in-kernel f32->int8
+    conversion a per-step Mosaic relayout."""
+    b, sq, nd = q.shape
+    sk = k.shape[1]
+    n = nd // head_dim
+    q4 = q.reshape(b, sq, n, head_dim)
+    k4 = k.reshape(b, sk, n, head_dim)
+    if use_rope:
+        q4 = _apply_rope_xla(q4, cos, sin)
+        k4 = _apply_rope_xla(k4, cos, sin)
+    q4 = q4.astype(jnp.float32)
+    qs = jnp.max(jnp.abs(q4), axis=3, keepdims=True) / 127.0 + 1e-12  # (b,sq,n,1)
+    q8 = jnp.round(q4 / qs).astype(jnp.int8).reshape(b, sq, nd)
+    qs = qs.transpose(0, 2, 1, 3)  # (b, n, sq, 1)
+    k4 = k4.astype(jnp.float32)
+    k4 = k4 - jnp.mean(k4, axis=1, keepdims=True)
+    kmax = jnp.max(jnp.abs(k4), axis=(1, 3)) / 127.0 + 1e-12  # (b, n)
+    k8 = jnp.round(k4 / kmax[:, None, :, None]).astype(jnp.int8).reshape(b, sk, nd)
+    if pv8:
+        v4 = v.reshape(b, sk, n, head_dim).astype(jnp.float32)
+        vss = jnp.max(jnp.abs(v4), axis=1) / 127.0 + 1e-12  # (b, n, head_dim)
+        v8 = jnp.round(v4 / vss[:, None]).astype(jnp.int8).reshape(b, sk, nd)
+        return q8, qs, k8, kmax, v8, vss
+    return q8, qs, k8, kmax, None, None
+
+
+def _flash_fwd_pallas_flat_q8(
+    q8, qs, k8, v, kscale, vss, kv_len, scale, block_q, block_k,
+    head_dim, nsub, pv8, out_dtype,
+):
+    """Quantized forward: q8 (B,S,N·D) int8 pre-roped with per-token scales
+    qs (B,N,S,1) f32, k8 (B,S,N·D) int8 pre-roped/centered, kscale (B,N)
+    f32, v bf16 or — with pv8 — int8 alongside vss (B,N,D) f32 channel
+    scales (applied to the output by XLA)."""
+    b, sq, nd = q8.shape
+    sk = k8.shape[1]
+    n = nd // head_dim
+    nq, nk = sq // block_q, sk // block_k
+    grid = (b, n, nq, nk)
+    masked = True if isinstance(kv_len, jax.Array) else kv_len < sk
+    kv_len_arr = jnp.asarray(kv_len, dtype=jnp.int32).reshape(1)
+    kscale = jnp.asarray(kscale, jnp.float32)
+
+    k_spec = pl.BlockSpec((1, block_k, head_dim),
+                          lambda b_, n_, i, j, *r: (b_, j, n_))
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_flat_q8, scale=scale, block_k=block_k, masked=masked,
+            nsub=nsub, pv8=pv8,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, head_dim), lambda b_, n_, i, j, *r: (b_, i, n_)),
+                pl.BlockSpec((1, 1, block_q, 1), lambda b_, n_, i, j, *r: (b_, n_, i, 0)),
+                k_spec,
+                pl.BlockSpec((1, block_k, head_dim), lambda b_, n_, i, j, *r: (b_, j, n_)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, head_dim), lambda b_, n_, i, j, *r: (b_, i, n_)),
+                pl.BlockSpec((1, 1, block_q, 1), lambda b_, n_, i, j, *r: (b_, n_, i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, head_dim), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq, nd), out_dtype),
+            jax.ShapeDtypeStruct((b, n, sq, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+    )(kv_len_arr, kscale, q8, qs, k8, v)
+    if pv8:
+        # out left the kernel in v8 channel units; one fused elementwise pass
+        out = (out.astype(jnp.float32) * vss.reshape(b, 1, nd)).astype(out_dtype)
+    return out, lse[..., 0]
+
+
+# ---------------------------------------------------------------------------
 # Legacy (B, N, S, D) kernel — kept for the ring-attention path (with_lse)
 # ---------------------------------------------------------------------------
 
@@ -849,7 +1071,8 @@ def _apply_rope_xla(x4, cos, sin, inverse=False):
 # rematted block backward (see wan_dit.forward_blocks(save_attention=True)).
 
 
-def _flash_core_flat(q, k, v, cos, sin, kv_len, scale, use_pallas, use_rope, head_dim):
+def _flash_core_flat(q, k, v, cos, sin, kv_len, scale, use_pallas, use_rope,
+                     head_dim, quant=None):
     # the raw forward runs on stop_gradient-ed inputs so it carries no
     # tangents at all (pallas_call has no JVP rule); gradients flow solely
     # through _attn_with_saved's custom bwd
@@ -857,7 +1080,7 @@ def _flash_core_flat(q, k, v, cos, sin, kv_len, scale, use_pallas, use_rope, hea
         jax.lax.stop_gradient(q), jax.lax.stop_gradient(k),
         jax.lax.stop_gradient(v), jax.lax.stop_gradient(cos),
         jax.lax.stop_gradient(sin), kv_len, scale, use_pallas, use_rope,
-        head_dim,
+        head_dim, quant,
     )
     lse = res[-1]
     out_sg = checkpoint_name(out, "flash_out")
@@ -886,8 +1109,11 @@ def _attn_with_saved_bwd(kv_len, scale, use_pallas, use_rope, head_dim, res, g):
     return dq, dk, dv, zc, zs, jnp.zeros_like(out), jnp.zeros_like(lse)
 
 
-def _flash_core_flat_fwd(q, k, v, cos, sin, kv_len, scale, use_pallas, use_rope, head_dim):
-    """q,k,v: (B, S, N*D) flat."""
+def _flash_core_flat_fwd(q, k, v, cos, sin, kv_len, scale, use_pallas,
+                         use_rope, head_dim, quant=None):
+    """q,k,v: (B, S, N*D) flat. quant: None | 'qk8' | 'qk8pv8' — int8-MXU
+    forward (inference-only; silently ignored off-TPU and on the legacy
+    non-flat path)."""
     b, sq, nd = q.shape
     sk = k.shape[1]
     n = nd // head_dim
@@ -919,19 +1145,35 @@ def _flash_core_flat_fwd(q, k, v, cos, sin, kv_len, scale, use_pallas, use_rope,
         return out, (q, k, v, cos, sin, out, lse)
 
     if use_pallas:
-        qp = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0))) if sq_p != sq else q
-        kp = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else k
-        vp = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else v
-        if use_rope:
-            # one table serves both q (block_q-indexed) and k (block_k-indexed)
-            tab_pad = _ceil_to(max(sq_p, sk_p), max(block_q, block_k))
-            cosE, sinE = _expand_rope_tables(cos, sin, head_dim, tab_pad)
+        if quant:
+            pv8 = quant == "qk8pv8"
+            q8, qs, k8, kscale, v8, vss = _quant_prep_xla(
+                q, k, v, cos, sin, use_rope, head_dim, pv8)
+            v_in = v8 if pv8 else v
+            if sq_p != sq:
+                q8 = jnp.pad(q8, ((0, 0), (0, sq_p - sq), (0, 0)))
+                qs = jnp.pad(qs, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+            if sk_p != sk:
+                k8 = jnp.pad(k8, ((0, 0), (0, sk_p - sk), (0, 0)))
+                v_in = jnp.pad(v_in, ((0, 0), (0, sk_p - sk), (0, 0)))
+            out, lse = _flash_fwd_pallas_flat_q8(
+                q8, qs, k8, v_in, kscale, vss, kv_len, scale,
+                block_q, block_k, head_dim, nsub, pv8, q.dtype,
+            )
         else:
-            cosE = sinE = jnp.zeros((8, head_dim), jnp.float32)
-        out, lse = _flash_fwd_pallas_flat(
-            qp, kp, vp, cosE, sinE, kv_len, scale, block_q, block_k, head_dim,
-            use_rope, nsub=nsub,
-        )
+            qp = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0))) if sq_p != sq else q
+            if use_rope:
+                # one table serves both q (block_q-indexed) and k (block_k-indexed)
+                tab_pad = _ceil_to(max(sq_p, sk_p), max(block_q, block_k))
+                cosE, sinE = _expand_rope_tables(cos, sin, head_dim, tab_pad)
+            else:
+                cosE = sinE = jnp.zeros((8, head_dim), jnp.float32)
+            kp = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else k
+            vp = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else v
+            out, lse = _flash_fwd_pallas_flat(
+                qp, kp, vp, cosE, sinE, kv_len, scale, block_q, block_k,
+                head_dim, use_rope, nsub=nsub,
+            )
         out = out[:, :sq]
         lse = lse[:, :, :sq]
     else:
@@ -1154,9 +1396,15 @@ def flash_attention_flat(
     kv_len: Optional[int] = None,
     scale: Optional[float] = None,
     force_xla: bool = False,
+    quant: Optional[str] = None,
 ) -> jax.Array:
     """Flat-layout entry: q,k,v (B, S, N·head_dim) straight from the qkv
-    projections, optional fused rope — zero reshapes/relayouts end to end."""
+    projections, optional fused rope — zero reshapes/relayouts end to end.
+
+    quant: None | 'qk8' | 'qk8pv8' — run the forward on the int8 MXU
+    (SageAttention-class per-token Q / per-head centered K, optionally int8
+    PV). INFERENCE-ONLY: the saved lse corresponds to the centered logits, so
+    do not differentiate through a quantized forward. Ignored off-TPU."""
     b, sq, nd = q.shape
     sk = k.shape[1]
     if kv_len is None:
@@ -1171,7 +1419,8 @@ def flash_attention_flat(
     else:
         cos = sin = jnp.zeros((1, max(1, head_dim // 2)), jnp.float32)
     return _flash_core_flat(
-        q, k, v, cos, sin, int(kv_len), float(scale), use_pallas, use_rope, head_dim
+        q, k, v, cos, sin, int(kv_len), float(scale), use_pallas, use_rope,
+        head_dim, quant=quant if use_pallas else None,
     )
 
 

@@ -334,35 +334,6 @@ class SVIVideoPipeline:
 
         return self._jit("denoise_step", step_fn)
 
-    def _denoise_loop_fn(self, num_steps: int):
-        """The ENTIRE CFG denoise loop as one jitted lax.fori_loop — one
-        dispatch instead of num_steps round trips (the axon tunnel makes
-        per-step dispatch latency non-trivial)."""
-        params_cfg = self.dit[1]
-
-        def loop_fn(dit_params, latents, timesteps, sigmas, ctx2, clip_feature, y,
-                    cfg_scale, add_condition2=None):
-            b = latents.shape[0]
-            clip2 = None if clip_feature is None else jnp.concatenate([clip_feature] * 2, axis=0)
-            y2 = None if y is None else jnp.concatenate([y] * 2, axis=0)
-
-            def body(i, lat):
-                x2 = jnp.concatenate([lat, lat], axis=0)
-                noise_pred = wan_dit.forward(
-                    dit_params, params_cfg, x2, timesteps[i][None], ctx2,
-                    clip_feature=clip2, y=y2, add_condition=add_condition2,
-                )
-                pred_cond, pred_uncond = noise_pred[:b], noise_pred[b:]
-                pred = pred_uncond + cfg_scale * (pred_cond - pred_uncond)
-                out = lat.astype(jnp.float32) + pred.astype(jnp.float32) * (
-                    sigmas[i + 1] - sigmas[i]
-                )
-                return out.astype(lat.dtype)
-
-            return jax.lax.fori_loop(0, num_steps, body, latents)
-
-        return self._jit(("denoise_loop", num_steps), loop_fn)
-
     def _denoise_step_nocfg_fn(self):
         params_cfg = self.dit[1]
 
@@ -405,8 +376,9 @@ class SVIVideoPipeline:
                     )
                 else:
                     ac2 = None
-                # per-step dispatch: measured equal to the fused-fori variant
-                # (_denoise_loop_fn) in steady state, but compiles ~5x faster
+                # per-step dispatch: measured equal to a fused-fori-loop
+                # variant in steady state, but compiles ~5x faster (the
+                # fused variant was removed in round 5 as dead code)
                 step = self._denoise_step_fn()
                 for i in range(n):
                     latents = step(

@@ -56,7 +56,10 @@ class SVIDanceVideoPipeline(SVIVideoPipeline):
         assert self.dwpose_embedding is not None, "no dwpose_embedding weights loaded"
         pose = jnp.asarray(np.asarray(humanpose_data, np.float32))[None]
         cond = pose_embedding.forward(self.dwpose_embedding, pose)
-        return cond.astype(self.dtype)
+        # the reference rounds the condition through bf16 unconditionally
+        # (svi_video_dance.py:529 `.to(torch.bfloat16)`) before casting to the
+        # latent dtype; replicate for bit-level parity even in f32 pipelines
+        return cond.astype(jnp.bfloat16).astype(self.dtype)
 
     def __call__(self, *args, humanpose_data=None, cond_wo_pose=True, **kwargs):
         if humanpose_data is not None:

@@ -136,6 +136,32 @@ def _ensure_stubs():
         sys.modules["xfuser.core"] = core
         sys.modules["xfuser.core.distributed"] = dist
 
+    if "pyloudnorm" not in sys.modules:
+        # utils/audio_process.py (imported by svi_video_talk) needs these at
+        # module scope; pipeline golden tests monkeypatch get_audio_embedding
+        # so the functions themselves are never reached
+        pyln = _mk_module("pyloudnorm")
+
+        class _Meter:
+            def __init__(self, sr):
+                raise NotImplementedError("pyloudnorm stub")
+
+        pyln.Meter = _Meter
+        pyln.normalize = _mk_module("pyloudnorm.normalize")
+        pyln.normalize.loudness = lambda *a, **k: (_ for _ in ()).throw(
+            NotImplementedError("pyloudnorm stub"))
+        sys.modules["pyloudnorm"] = pyln
+
+    if "librosa" not in sys.modules:
+        lr = _mk_module("librosa")
+
+        def _unavailable(*a, **k):
+            raise NotImplementedError("librosa stub (no audio IO in tests)")
+
+        lr.load = _unavailable
+        lr.resample = _unavailable
+        sys.modules["librosa"] = lr
+
     if "torchvision" not in sys.modules or not hasattr(
         sys.modules["torchvision"], "transforms"
     ):

@@ -243,3 +243,68 @@ def test_onepass_bwd_kernel_interpret_mode(block_q, block_k, pad_q):
                                np.asarray(dk_ref), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(dv.reshape(b, s, n, d)),
                                np.asarray(dv_ref), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("quant", ["qk8", "qk8pv8"])
+def test_quant_kernel_interpret_mode(quant):
+    """The int8-MXU forward kernel (SageAttention-class: per-token int8 Q,
+    per-(b,head) centered int8 K, optional 127-scaled int8 PV) in interpreter
+    mode vs the rotated dense reference. K gets a constant bias to exercise
+    the softmax-invariant mean-centering. Error bounds are int8 quantization
+    noise — an order looser than the bf16 kernel's."""
+    from jax.experimental.pallas import tpu as pltpu
+    from svi_tpu.ops import attention as attn_mod
+    from svi_tpu.ops.rope import apply_rope, rope_angles_for_grid
+
+    rng = np.random.default_rng(6)
+    b, s, n, d = 1, 448, 2, 128  # pads to 512 -> masked tail
+    q, k, v = rand_qkv(rng, b, s, s, n, d)
+    k = k + 0.7  # biased K channels: the centering must absorb this exactly
+    cos, sin = rope_angles_for_grid((7, 8, 8), d)
+    ref = np.asarray(dense_reference(
+        apply_rope(q, cos, sin), apply_rope(k, cos, sin), v))
+
+    qf, kf, vf = (t.reshape(b, s, n * d) for t in (q, k, v))
+    block_q, block_k, nsub = 256, 512, 4
+    pad = 512 - s
+    pv8 = quant == "qk8pv8"
+    q8, qs, k8, kscale, v8, vss = attn_mod._quant_prep_xla(
+        qf, kf, vf, cos, sin, True, d, pv8)
+    v_in = v8 if pv8 else vf
+    q8p = jnp.pad(q8, ((0, 0), (0, pad), (0, 0)))
+    qsp = jnp.pad(qs, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    k8p = jnp.pad(k8, ((0, 0), (0, pad), (0, 0)))
+    v_inp = jnp.pad(v_in, ((0, 0), (0, pad), (0, 0)))
+    with pltpu.force_tpu_interpret_mode():
+        out, lse = attn_mod._flash_fwd_pallas_flat_q8(
+            q8p, qsp, k8p, v_inp, kscale, vss, s, d ** -0.5,
+            block_q, block_k, d, nsub, pv8, qf.dtype)
+    o = np.asarray(out[:, :s].reshape(b, s, n, d))
+    err = np.abs(o - ref)
+    tol = 0.012 if quant == "qk8" else 0.03
+    assert err.max() < tol, (quant, err.max())
+    assert err.mean() < tol / 8, (quant, err.mean())
+    # softmax weights sum to one either way: the row means must agree tightly
+    np.testing.assert_allclose(o.mean(axis=-1), ref.mean(axis=-1), atol=6e-3)
+
+
+def test_quant_prep_centering_is_softmax_invariant():
+    """_quant_prep_xla subtracts a per-(b,head,channel) constant from K; in
+    exact arithmetic softmax(q·k^T) is unchanged. Verify on the XLA side by
+    undoing the quantization (dequantized centered K vs raw K through dense
+    softmax)."""
+    rng = np.random.default_rng(3)
+    b, s, n, d = 1, 64, 2, 128
+    q, k, v = rand_qkv(rng, b, s, s, n, d)
+    k = k + 1.3
+    from svi_tpu.ops import attention as attn_mod
+
+    _, _, k8, kscale, _, _ = attn_mod._quant_prep_xla(
+        q.reshape(b, s, n * d), k.reshape(b, s, n * d),
+        v.reshape(b, s, n * d), None, None, False, d, False)
+    kdq = (k8.reshape(b, s, n, d).astype(jnp.float32)
+           * kscale[:, None, :, None])
+    ref = np.asarray(dense_reference(q, k, v))
+    got = np.asarray(dense_reference(q, kdq, v))
+    # only int8 rounding noise of K remains
+    assert np.abs(got - ref).max() < 0.015
