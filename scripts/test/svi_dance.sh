@@ -1,5 +1,8 @@
 #!/bin/bash
 # SVI-Dance inference: pose-conditioned animation (ref scripts/test/svi_dance.sh).
+# WARM_COMPILE=1 pre-seeds the persistent compile cache (run once per
+# deployment/kernel upgrade; ~5 min; see scripts/warm_compile.py).
+[ -n "$WARM_COMPILE" ] && python scripts/warm_compile.py --size 14B
 python scripts/test_svi_dance.py \
   --output videos/svi_dance \
   --dit_root ./weights/Wan2.1-I2V-14B-480P/ \

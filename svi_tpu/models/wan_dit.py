@@ -394,12 +394,18 @@ def _cross_attention(
     k = rms_norm(_dense_lora(p["k"], txt, _l(lora, "k"), lora_scale), p["norm_k"]["w"], eps=cfg.eps)
     v = _dense_lora(p["v"], txt, _l(lora, "v"), lora_scale)
     lk = txt.shape[1]
-    o = flash_attention(q, k.reshape(b, lk, n, hd), v.reshape(b, lk, n, hd))
+    # save_tag="xattn": the save-attention remat policy keeps only the
+    # O(S^2) self-attention residuals; these S x 769 cross-attentions are
+    # cheap to recompute, and saving their token-sized outputs too tripled
+    # the saved-activation footprint (OOMed the 1.3B save-attn train step).
+    o = flash_attention(q, k.reshape(b, lk, n, hd), v.reshape(b, lk, n, hd),
+                        save_tag="xattn")
     if img is not None:
         k_img = rms_norm(_dense(p["k_img"], img), p["norm_k_img"]["w"], eps=cfg.eps)
         v_img = _dense(p["v_img"], img)
         li = img.shape[1]
-        o = o + flash_attention(q, k_img.reshape(b, li, n, hd), v_img.reshape(b, li, n, hd))
+        o = o + flash_attention(q, k_img.reshape(b, li, n, hd),
+                                v_img.reshape(b, li, n, hd), save_tag="xattn")
     return _dense_lora(p["o"], o.reshape(b, s, d), _l(lora, "o"), lora_scale)
 
 

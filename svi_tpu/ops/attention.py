@@ -1072,10 +1072,16 @@ def _apply_rope_xla(x4, cos, sin, inverse=False):
 
 
 def _flash_core_flat(q, k, v, cos, sin, kv_len, scale, use_pallas, use_rope,
-                     head_dim, quant=None):
+                     head_dim, quant=None, save_tag="flash"):
     # the raw forward runs on stop_gradient-ed inputs so it carries no
     # tangents at all (pallas_call has no JVP rule); gradients flow solely
-    # through _attn_with_saved's custom bwd
+    # through _attn_with_saved's custom bwd.
+    # save_tag names the checkpoint_name tags ("<tag>_out"/"<tag>_lse") so a
+    # remat policy can save SOME attention sites and not others — the
+    # save-attention recipe keeps only the O(S^2) self-attention
+    # ("flash_*"); cross-attention ("xattn_*", S x 769) is cheap to
+    # recompute and saving it OOMs the 1.3B train step (3 saved token-sized
+    # tensors/block instead of 1: +5.7 GB, measured 15.86G > 15.75G HBM).
     out, res = _flash_core_flat_fwd(
         jax.lax.stop_gradient(q), jax.lax.stop_gradient(k),
         jax.lax.stop_gradient(v), jax.lax.stop_gradient(cos),
@@ -1083,8 +1089,8 @@ def _flash_core_flat(q, k, v, cos, sin, kv_len, scale, use_pallas, use_rope,
         head_dim, quant,
     )
     lse = res[-1]
-    out_sg = checkpoint_name(out, "flash_out")
-    lse_sg = checkpoint_name(lse, "flash_lse")
+    out_sg = checkpoint_name(out, f"{save_tag}_out")
+    lse_sg = checkpoint_name(lse, f"{save_tag}_lse")
     return _attn_with_saved(q, k, v, cos, sin, out_sg, lse_sg, kv_len, scale,
                             use_pallas, use_rope, head_dim)
 
@@ -1330,11 +1336,15 @@ def flash_attention(
     kv_len: Optional[int] = None,
     scale: Optional[float] = None,
     force_xla: bool = False,
+    save_tag: str = "flash",
 ) -> jax.Array:
     """Full (non-causal) attention. q: (B, Sq, N, D); k, v: (B, Sk, N, D).
 
     kv_len masks keys at positions >= kv_len (defaults to Sk); use it when the
     caller pre-pads the key sequence. Returns (B, Sq, N, D) in q.dtype.
+    save_tag: checkpoint_name prefix for the out/lse residuals (see
+    _flash_core_flat) — pass a non-"flash" tag at sites a save-attention
+    remat policy should NOT save (e.g. cheap cross-attention).
     """
     assert q.ndim == 4 and k.ndim == 4 and v.ndim == 4
     b, sq, n, d = q.shape
@@ -1348,6 +1358,7 @@ def flash_attention(
     out = _flash_core_flat(
         q.reshape(b, sq, n * d), k.reshape(b, sk, n * d), v.reshape(b, sk, n * d),
         dummy, dummy, int(kv_len), float(scale), use_pallas, False, d,
+        save_tag=save_tag,
     )
     return out.reshape(b, sq, n, d)
 
