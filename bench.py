@@ -342,6 +342,45 @@ def main(result_fd=None):
         except Exception as ex:  # noqa: BLE001
             step_train = None
             train_detail["train_step_save_attn_error"] = f"{type(ex).__name__}: {ex}"[:200]
+
+        # --use_gradient_checkpointing_offload: block carries saved to
+        # pinned_host instead of rematted (ref save_on_cpu,
+        # wan_video_dit.py:547-561). Record the peak-HBM delta via AOT
+        # memory_analysis (no execution needed for the memory evidence)
+        # plus the executed step time (the flag trades HBM for PCIe DMA).
+        try:
+            abst = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype),
+                (trainable, opt_state, dit_params, tbatch))
+
+            def _peak_hbm(**kw):
+                st = trainer_mod.make_train_step(
+                    dit_cfg, schedule, optimizer, lora_scale=1.0,
+                    use_remat=True, mesh=None, **kw)
+                ma = st.lower(*abst).compile().memory_analysis()
+                return st, ma.temp_size_in_bytes / 2**30
+
+            _st_base, hbm_base = _peak_hbm()
+            step_off, hbm_off = _peak_hbm(offload_carries=True)
+            del _st_base
+            train_detail["train_step_temp_hbm_gib_1_3B"] = round(hbm_base, 2)
+            train_detail["train_step_temp_hbm_gib_1_3B_offload_carries"] = round(
+                hbm_off, 2)
+            trainable, opt_state, m = _retry_compile(
+                lambda: step_off(trainable, opt_state, dit_params, tbatch),
+                label="train_step_offload")
+            _ = float(m["loss"])
+            t0 = time.perf_counter()
+            trainable, opt_state, m = step_off(trainable, opt_state, dit_params, tbatch)
+            _ = float(m["loss"])
+            train_detail["train_step_seconds_1_3B_lora128_offload_carries"] = round(
+                time.perf_counter() - t0, 3)
+            del step_off
+            _log(f"train step (offload_carries) "
+                 f"{train_detail['train_step_seconds_1_3B_lora128_offload_carries']}s, "
+                 f"temp HBM {hbm_base:.2f} -> {hbm_off:.2f} GiB")
+        except Exception as ex:  # noqa: BLE001
+            train_detail["train_step_offload_error"] = f"{type(ex).__name__}: {ex}"[:200]
     except Exception as ex:  # train-step bench must not kill the headline metric
         train_detail = {"train_step_error": f"{type(ex).__name__}: {ex}"[:200]}
     finally:
