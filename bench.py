@@ -44,15 +44,22 @@ def _retry_compile(fn, tries=3, wait_s=20, label=""):
     500s transiently (BENCH_r03 note; recurred in BENCH_r04's save-attention
     section where the single retry wasn't enough). Retry with a pause so a
     busy helper subprocess gets a fresh chance; re-raise only after `tries`
-    consecutive failures — at that point the failure is treated as real."""
+    consecutive failures — at that point the failure is treated as real.
+
+    ONLY compile-channel errors are retried: the step functions donate their
+    trainable/opt_state buffers, so an execution-time failure (donation
+    already consummated) must not be re-invoked on deleted arrays — a retry
+    would mask the real error behind 'Array has been deleted'. A compile
+    failure happens before any donation, so retrying it is safe."""
+    retriable = ("remote_compile", "tpu_compile_helper", "compile")
     for i in range(tries):
         try:
             return fn()
         except Exception as ex:  # noqa: BLE001
-            _log(f"compile attempt {i + 1}/{tries} {label} failed: "
-                 f"{type(ex).__name__}: {str(ex)[:160]}")
-            if i == tries - 1:
+            msg = f"{type(ex).__name__}: {str(ex)[:160]}"
+            if i == tries - 1 or not any(s in str(ex) for s in retriable):
                 raise
+            _log(f"compile attempt {i + 1}/{tries} {label} failed: {msg}")
             time.sleep(wait_s)
 
 

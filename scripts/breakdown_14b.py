@@ -123,8 +123,7 @@ def main():
         (v.size * 2 if v.dtype == jnp.int8 else v.size)
         for v in jax.tree.leaves(params["blocks"]) if v.ndim >= 2
     )
-    lin_flops = 2 * n_lin * B * S / L * 1.0  # per full stack: 2*params*tokens
-    lin_flops = 2 * n_lin * B * S
+    lin_flops = 2 * n_lin * B * S  # full stack: 2 * params * tokens
 
     out = {
         "shape": f"b{B} S{S} dim{dim} L{L} (480x832/81f batched CFG)",

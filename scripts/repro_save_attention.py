@@ -71,7 +71,10 @@ def main():
             print(f"attempt {attempt + 1}/3 failed after "
                   f"{time.perf_counter() - t0:.1f}s: "
                   f"{type(ex).__name__}: {str(ex)[:200]}", flush=True)
-            if attempt == 2:
+            # only compile-channel errors are retriable: the step donates
+            # trainable/opt_state, so an execution failure must not be
+            # re-invoked on deleted buffers (see bench._retry_compile)
+            if attempt == 2 or "compile" not in str(ex):
                 raise
             time.sleep(20)
 

@@ -64,6 +64,13 @@ class WanDiTConfig:
     # auto-preference when installed).
     attention_quant: str = "none"
 
+    def __post_init__(self):
+        if self.attention_quant not in ("none", "qk8", "qk8pv8"):
+            raise ValueError(
+                f"attention_quant={self.attention_quant!r}: expected 'none', "
+                "'qk8', or 'qk8pv8'"
+            )
+
     @property
     def head_dim(self) -> int:
         return self.dim // self.num_heads

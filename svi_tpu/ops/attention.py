@@ -1150,6 +1150,10 @@ def _flash_core_flat_fwd(q, k, v, cos, sin, kv_len, scale, use_pallas,
         lse = lse[:, :, :sq]
         return out, (q, k, v, cos, sin, out, lse)
 
+    if quant not in (None, "qk8", "qk8pv8"):
+        raise ValueError(
+            f"quant={quant!r}: expected None, 'qk8', or 'qk8pv8'"
+        )
     if use_pallas:
         if quant:
             pv8 = quant == "qk8pv8"

@@ -166,6 +166,15 @@ def make_train_step(dit_cfg, schedule, optimizer, lora_scale: float, use_remat=T
     forward runs sequence-parallel over 'sp' (parallel.sequence_parallel), and
     gradient averaging across data shards falls out of the mean loss.
     """
+    if getattr(dit_cfg, "attention_quant", "none") != "none":
+        # the quantized flash forward saves the lse of the CENTERED logits
+        # (ops/attention.py), so the backward's reconstructed probabilities —
+        # and every gradient — would be silently wrong. Inference-only.
+        raise ValueError(
+            "attention_quant is inference-only: the quantized forward's saved "
+            "lse is incompatible with the flash backward. Train with "
+            "attention_quant='none'."
+        )
 
     if remat_granularity == 0:
         remat_granularity = wan_dit.pick_remat_group(dit_cfg.num_layers)

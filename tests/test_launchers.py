@@ -34,11 +34,17 @@ def _declared_flags(driver):
 
 @pytest.mark.parametrize("launcher,driver", sorted(LAUNCHERS.items()))
 def test_launcher_flags_exist(launcher, driver):
-    body = "\n".join(
+    lines = [
         line for line in open(os.path.join(REPO, launcher)).read().splitlines()
         if not line.lstrip().startswith("#")
-    )
-    used = set(re.findall(r"(--[\w-]+)", body))
+    ]
+    # only the driver's own command block counts — launchers may invoke other
+    # tools with their own flags (e.g. the WARM_COMPILE cache pre-seed)
+    start = next(i for i, l in enumerate(lines) if driver in l)
+    block = [lines[start]]
+    while block[-1].rstrip().endswith("\\") and start + len(block) < len(lines):
+        block.append(lines[start + len(block)])
+    used = set(re.findall(r"(--[\w-]+)", "\n".join(block)))
     declared = _declared_flags(driver)
     unknown = used - declared
     assert not unknown, f"{launcher} passes undeclared flags: {sorted(unknown)}"
