@@ -63,6 +63,22 @@ def _fast_torch_init(request):
         yield
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_process_memory():
+    """Release jit executables + cached arrays after each test module.
+
+    A full single-process `pytest tests/` accumulates every module's compiled
+    executables and their kept-alive constants (measured ~50 GB RSS and a
+    fatal crash around the 50th file); per-module jax.clear_caches() keeps
+    the suite bounded at the cost of re-jitting shared helpers. File-sharded
+    runs (one pytest per file) are unaffected."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
 # ---------------------------------------------------------------------------
 # Allocation mitigation for this microVM
 # ---------------------------------------------------------------------------
