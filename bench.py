@@ -580,12 +580,15 @@ print(json.dumps({{
     except Exception as ex:  # noqa: BLE001
         warm_detail = {"error": f"{type(ex).__name__}: {ex}"[:200]}
 
-    # --- opt-in: one 14B QLoRA train step (int4 base on the int8 MXU, fp32
-    # rank-64 adapters, sqrt-remat block groups) — the single-chip flagship
-    # training recipe (scripts/train_svi.py --quantize int4
-    # --remat_granularity 0). Gated behind SVI_BENCH_TRAIN14B=1 so the
-    # driver's default bench stays bounded; the measured number is recorded
-    # in ROADMAP.md.
+    # --- opt-in probe: one 14B QLoRA train step (int4 base on the int8 MXU,
+    # fp32 rank-64 adapters, sqrt-remat block groups). Measured r5: does NOT
+    # fit one v5e at 480p/81f — compile-time OOM, 27.2G needed vs 15.75G
+    # (11.6G weights+states+batch, 15.6G temp at 37% fragmentation), and the
+    # carry-offload variant hits an XLA async-start/pinned-host bug at this
+    # scale (docs/PERFORMANCE.md). 14B training is the multi-chip TP/TPxSP
+    # regime, like the reference's (8-64 GPU ZeRO-2 only). Gated behind
+    # SVI_BENCH_TRAIN14B=1 as a probe for future toolchains/chips; expect
+    # train_step_14B_error on current hardware.
     if os.environ.get("SVI_BENCH_TRAIN14B"):
         try:
             from svi_tpu.schedulers import flow_match as fm
