@@ -470,6 +470,70 @@ def main(result_fd=None):
                 cfg_b2 = {"error": f"{type(ex).__name__}: {ex}"[:300]}
                 _log(f"14B batched-CFG b=2: {cfg_b2['error'][:120]}")
 
+        # per-step roofline decomposition (docs/PERFORMANCE.md): time one
+        # block and one attention via dispatch-free 1-vs-3 differencing on
+        # the batched-CFG shape, then attribute the step to attention /
+        # W4A8 linears+norms / glue (scripts/breakdown_14b.py standalone)
+        if use_w4a8:
+            try:
+                from svi_tpu.ops.attention import flash_attention_flat
+                from svi_tpu.ops.rope import rope_angles_for_grid
+
+                grid14 = (LT, H // 16, W // 16)
+                S_b = grid14[0] * grid14[1] * grid14[2]
+                cosb, sinb = rope_angles_for_grid(grid14, cfg14.head_dim)
+                b0 = jax.tree.map(lambda v: v[0], params14["blocks"])
+                tok = jnp.asarray(
+                    rng.standard_normal((2, S_b, cfg14.dim)), jnp.bfloat16)
+                ctxtok = jnp.asarray(
+                    rng.standard_normal((2, 769, cfg14.dim)), jnp.bfloat16)
+                tmodb = jnp.asarray(
+                    rng.standard_normal((2, 6, cfg14.dim)), jnp.bfloat16)
+
+                def chain(f, n):
+                    def run(x):
+                        for _ in range(n):
+                            x = f(x)
+                        return x
+                    return jax.jit(run)
+
+                def timed_min(fn, x, reps=2):
+                    _ = np.asarray(fn(x)[0, 0, 0])
+                    ts = []
+                    for _ in range(reps):
+                        t0 = time.perf_counter()
+                        _ = np.asarray(fn(x)[0, 0, 0])
+                        ts.append(time.perf_counter() - t0)
+                    return min(ts)
+
+                blk = lambda x: wan_dit.dit_block(  # noqa: E731
+                    b0, cfg14, x, ctxtok, tmodb, cosb, sinb)
+                attn = lambda x: flash_attention_flat(  # noqa: E731
+                    x, x, x, cfg14.head_dim, cos=cosb, sin=sinb)
+                tb = (timed_min(chain(blk, 3), tok) -
+                      timed_min(chain(blk, 1), tok)) / 2
+                ta = (timed_min(chain(attn, 3), tok) -
+                      timed_min(chain(attn, 1), tok)) / 2
+                L14 = cfg14.num_layers
+                breakdown = {
+                    "attention_seconds": round(ta * L14, 2),
+                    "w4a8_linears_plus_norms_seconds": round((tb - ta) * L14, 2),
+                    "prelude_head_glue_seconds": round(
+                        t14_step - tb * L14, 2),
+                    "attention_tf_s": round(
+                        4 * 2 * S_b * S_b * cfg14.dim * L14 / (ta * L14) / 1e12, 1),
+                }
+                _log(f"14B breakdown: attn {ta * L14:.2f}s / "
+                     f"linears {(tb - ta) * L14:.2f}s of {t14_step:.2f}s")
+                del tok, ctxtok, tmodb, b0, blk, attn
+                import gc
+
+                gc.collect()  # free the chain executables + sliced block
+            except Exception as ex:  # noqa: BLE001
+                breakdown = {"error": f"{type(ex).__name__}: {ex}"[:200]}
+        else:
+            breakdown = None
+
         n14 = sum(
             (x.size * 2 if x.dtype == jnp.int8 else x.size)
             for x in jax.tree.leaves(params14) if x.ndim >= 2
@@ -501,9 +565,73 @@ def main(result_fd=None):
         }
         if cfg_b2:
             detail["cfg_b2_measured"] = cfg_b2
-        # free before the next variant
+        if breakdown:
+            detail["breakdown"] = breakdown
+
+        # TeaCache at the flagship: the headline stays cache-off for
+        # reference parity (the flagship config defaults use_teacache
+        # False), so record what a SKIPPED step costs at 14B — prelude +
+        # cached-residual add + head (the split path's skip branch,
+        # svi_video.py _sample) — and the derived clip time at the 48/50
+        # skip rate the 1.3B loop measures. The full 50-step tc loop does
+        # not fit next to the 8.3GB weights on one chip (the b=2 blocks fn
+        # plus two token-sized residual buffers: measured
+        # RESOURCE_EXHAUSTED), so skip cost is measured, clip derived.
+        if use_w4a8:
+            try:
+                import gc
+
+                pipe14._jit_cache.clear()
+                step14 = None
+                gc.collect()
+                grid14 = (LT, H // 16, W // 16)
+                xin2 = jnp.concatenate([lat14, lat14], axis=0)
+                ctx2_14 = jnp.concatenate([ctx_pos, ctx_neg], axis=0)
+                clip2 = jnp.concatenate([image_emb["clip_feature"]] * 2, axis=0)
+                y2 = jnp.concatenate([image_emb["y"]] * 2, axis=0)
+
+                @jax.jit
+                def skip_step(p, x, t, c, cf, y_, residual):
+                    tok, _, t_emb, _ = wan_dit.forward_prelude(
+                        p, cfg14, x, t, c, clip_feature=cf, y=y_)[:4]
+                    tok = tok + residual  # tc.update: cached residual add
+                    out = wan_dit.forward_head(p, cfg14, tok, t_emb, grid14)
+                    return out[1:] + 5.0 * (out[:1] - out[1:])
+
+                S_b2 = grid14[0] * grid14[1] * grid14[2]
+                resid = jnp.asarray(
+                    rng.standard_normal((2, S_b2, cfg14.dim)), jnp.bfloat16)
+                args_sk = (params14, xin2, jnp.asarray([timesteps[0]]),
+                           ctx2_14, clip2, y2, resid)
+                _ = np.asarray(skip_step(*args_sk)[0, 0, 0, 0, 0])
+                ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    _ = np.asarray(skip_step(*args_sk)[0, 0, 0, 0, 0])
+                    ts.append(time.perf_counter() - t0)
+                t_skip = min(ts)
+                clip_tc = enc + 2 * t14_step + (STEPS - 2) * t_skip + dec
+                detail["teacache_0.3"] = {
+                    "skipped_step_seconds": round(t_skip, 3),
+                    "skipped_step_cost_fraction": round(t_skip / t14_step, 4),
+                    "derived_clip_seconds_48_of_50_skipped": round(clip_tc, 1),
+                    "derived_speedup_vs_teacache_off": round(clip14 / clip_tc, 2),
+                    "note": ("skip cost measured (prelude + residual add + "
+                             "head, b=2); clip derived at the 48/50 skip "
+                             "rate the 1.3B full loop measures"),
+                }
+                del xin2, ctx2_14, clip2, y2, resid, skip_step
+                gc.collect()
+                _log(f"14B teacache skipped-step {t_skip:.3f}s "
+                     f"(derived clip {clip_tc:.0f}s)")
+            except Exception as ex:  # noqa: BLE001
+                detail["teacache_error"] = f"{type(ex).__name__}: {ex}"[:200]
+        # free before the next variant (incl. deferred-by-GC executables)
+        import gc
+
         pipe14._jit_cache.clear()
         del params14, step14, pipe14, lat14
+        gc.collect()
         return detail
 
     fl14_w4a8, fl14_bf16 = {}, {}
